@@ -1,0 +1,592 @@
+"""Core neural-net building blocks (flax.linen), masked for padded entities.
+
+TPU-native re-implementations of /root/reference/src/models/modules/*.py:
+  - MLP               ref mlp.py:20-85 (masking before the end-layer activation
+                      is a load-bearing quirk: invalid rows become act(fill))
+  - Attention         ref attention.py:9-154 (incl. the all-invalid-target
+                      softmax NaN guard, reproduced branchlessly)
+  - TransformerBlock  ref transformer.py:18-240 (pre/post-norm, DenseTNT
+                      activation-residual variant when d_feedforward <= 0)
+  - InputPeEncoder    ref input_pe_encoder.py:8-61
+  - TemporalAggregate ref agent_temporal.py:7-39
+  - StackedGRU        ref agent_temporal.py:50-193 (GRU over agents; hidden
+                      masked to zero for invalid agents each step)
+  - MultiAgentTF      ref agent_interaction.py:9-107 (the reference's Python
+                      branch slicing out single-valid-agent batches becomes a
+                      branchless per-batch select)
+  - AddLatentGoal     ref add_latent_goal.py:9-77
+  - ActionHead        ref action_head.py:9-98
+
+All attention/matmul computations accept a `compute_dtype` (bf16 on TPU by
+default for encoders); parameters stay fp32.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    return {
+        "relu": nn.relu,
+        "gelu": nn.gelu,
+        "elu": nn.elu,
+        "leaky_relu": nn.leaky_relu,
+    }[name]
+
+
+class MLP(nn.Module):
+    """Linear stack with optional layernorm/dropout.
+
+    Matches the reference forward semantics (mlp.py:72-85): the valid mask is
+    applied to the *pre-activation* output of the last layer, then the
+    end-layer activation runs on the masked tensor — so invalid rows hold
+    act(fill_invalid), not 0.
+    """
+
+    fc_dims: Sequence[int]  # output dims of each layer (input dim inferred)
+    dropout_p: Optional[float] = 0.1
+    use_layernorm: bool = False
+    activation: str = "relu"
+    end_layer_activation: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
+        fill_invalid: float = 0.0,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        act = _activation(self.activation)
+        n = len(self.fc_dims)
+        for i, dim in enumerate(self.fc_dims):
+            x = nn.Dense(dim, name=f"fc{i}")(x)
+            is_last = i == n - 1
+            if not is_last or self.end_layer_activation:
+                if self.use_layernorm:
+                    x = nn.LayerNorm(name=f"ln{i}")(x)
+                if self.dropout_p is not None and self.dropout_p > 0:
+                    x = nn.Dropout(self.dropout_p, name=f"do{i}")(x, deterministic=deterministic)
+            if not is_last:
+                x = act(x)
+        if valid is not None:
+            x = jnp.where(valid[..., None], x, fill_invalid)
+        if self.end_layer_activation:
+            x = act(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head attention with padded-target masking and NaN guard.
+
+    Ref attention.py:53-154. Rows whose targets are ALL masked would softmax
+    to NaN; the reference un-masks those rows then zeroes their output
+    (attention.py:101-107,144-146). Here this is branchless: the mask is
+    lifted where `no_valid_tgt`, and outputs are zeroed by the same flag.
+    """
+
+    d_model: int
+    n_head: int
+    dropout_p: float = 0.0
+    bias: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,  # [B, S, d]
+        tgt: Optional[jnp.ndarray] = None,  # [B, T, d]; None = self-attention
+        tgt_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True = invalid
+        attn_mask: Optional[jnp.ndarray] = None,  # [B, S, T] True = disabled
+        need_weights: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        d_head = self.d_model // self.n_head
+        assert d_head * self.n_head == self.d_model
+
+        dense = lambda name: nn.Dense(self.d_model, use_bias=self.bias, name=name, dtype=self.compute_dtype)
+        q = dense("q_proj")(src)
+        kv_in = src if tgt is None else tgt
+        k = dense("k_proj")(kv_in)
+        v = dense("v_proj")(kv_in)
+
+        B, S = src.shape[:2]
+        T = kv_in.shape[1]
+        q = q.reshape(B, S, self.n_head, d_head)
+        k = k.reshape(B, T, self.n_head, d_head)
+        v = v.reshape(B, T, self.n_head, d_head)
+
+        invalid = None  # [B, S, T]
+        if tgt_padding_mask is not None:
+            invalid = jnp.broadcast_to(tgt_padding_mask[:, None, :], (B, S, T))
+        if attn_mask is not None:
+            am = jnp.broadcast_to(attn_mask, (B, S, T))
+            invalid = am if invalid is None else (invalid | am)
+
+        logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32)
+        no_valid_tgt = None
+        if invalid is not None:
+            no_valid_tgt = jnp.all(invalid, axis=-1)  # [B, S]
+            use_mask = invalid & (~no_valid_tgt[..., None])
+            logits = jnp.where(use_mask[:, None], -jnp.inf, logits)
+
+        attn = jax.nn.softmax(logits / np.sqrt(d_head), axis=-1)
+        if self.dropout_p > 0:
+            attn = nn.Dropout(self.dropout_p, name="attn_do")(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhst,bthd->bshd", attn.astype(v.dtype), v).reshape(B, S, self.d_model)
+        out = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj", dtype=self.compute_dtype)(out)
+        out = out.astype(src.dtype)
+
+        if no_valid_tgt is not None:
+            out = jnp.where(no_valid_tgt[..., None], 0.0, out)
+
+        if need_weights:
+            w = jnp.mean(attn, axis=1)  # [B, S, T]
+            if no_valid_tgt is not None:
+                w = jnp.where(no_valid_tgt[..., None], 0.0, w)
+            return out, w
+        return out, None
+
+
+class TransformerCrossAttention(nn.Module):
+    """One (pre/post-norm) cross-attention layer. Ref transformer.py:98-240."""
+
+    d_model: int
+    n_head: int
+    d_feedforward: int = 128
+    dropout_p: float = 0.1
+    activation: str = "relu"
+    norm_first: bool = True
+    bias: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        src_padding_mask: Optional[jnp.ndarray] = None,
+        tgt: Optional[jnp.ndarray] = None,
+        tgt_padding_mask: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        need_weights: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        act = _activation(self.activation)
+        attn = Attention(
+            d_model=self.d_model, n_head=self.n_head, dropout_p=self.dropout_p,
+            bias=self.bias, compute_dtype=self.compute_dtype, name="attn",
+        )
+        dropout = lambda name: nn.Dropout(self.dropout_p, name=name) if self.dropout_p > 0 else None
+
+        if tgt is None:
+            tgt_padding_mask = src_padding_mask
+
+        if self.norm_first:
+            src2 = nn.LayerNorm(name="norm1")(src)
+            tgt_n = nn.LayerNorm(name="norm_tgt")(tgt) if tgt is not None else None
+        else:
+            src2 = src
+            tgt_n = tgt
+
+        src2, attn_weights = attn(
+            src2, tgt=tgt_n, tgt_padding_mask=tgt_padding_mask,
+            attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
+        )
+
+        if self.d_feedforward > 0:
+            do1 = dropout("do1")
+            src = src + (do1(src2, deterministic=deterministic) if do1 else src2)
+            if self.norm_first:
+                src2 = nn.LayerNorm(name="norm2")(src)
+            else:
+                src = nn.LayerNorm(name="norm1_post")(src)
+                src2 = src
+            src2 = act(nn.Dense(self.d_feedforward, name="linear1")(src2))
+            do_ff = dropout("do_ff")
+            if do_ff:
+                src2 = do_ff(src2, deterministic=deterministic)
+            src2 = nn.Dense(self.d_model, name="linear2")(src2)
+            do2 = dropout("do2")
+            src = src + (do2(src2, deterministic=deterministic) if do2 else src2)
+            if not self.norm_first:
+                src = nn.LayerNorm(name="norm2_post")(src)
+        else:
+            # DenseTNT/VectorNet variant: activation residual, no FFN
+            src2 = act(src2)
+            do = dropout("do_dtnt")
+            src = src + (do(src2, deterministic=deterministic) if do else src2)
+            if not self.norm_first:
+                src = nn.LayerNorm(name="norm1_post")(src)
+
+        if src_padding_mask is not None:
+            src = jnp.where(src_padding_mask[..., None], 0.0, src)
+            if need_weights and attn_weights is not None:
+                attn_weights = jnp.where(src_padding_mask[..., None], 0.0, attn_weights)
+        return src, attn_weights
+
+
+class TransformerBlock(nn.Module):
+    """Stack of TransformerCrossAttention layers. Ref transformer.py:18-95."""
+
+    d_model: int
+    n_head: int = 2
+    d_feedforward: int = 256
+    dropout_p: float = 0.1
+    activation: str = "relu"
+    n_layer: int = 1
+    norm_first: bool = True
+    bias: bool = True
+    out_layernorm: bool = False
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        src_padding_mask: Optional[jnp.ndarray] = None,
+        tgt: Optional[jnp.ndarray] = None,
+        tgt_padding_mask: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        need_weights: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        attn_weights = None
+        for i in range(self.n_layer):
+            src, attn_weights = TransformerCrossAttention(
+                d_model=self.d_model, n_head=self.n_head, d_feedforward=self.d_feedforward,
+                dropout_p=self.dropout_p, activation=self.activation, norm_first=self.norm_first,
+                bias=self.bias, compute_dtype=self.compute_dtype, name=f"layer{i}",
+            )(
+                src, src_padding_mask=src_padding_mask, tgt=tgt,
+                tgt_padding_mask=tgt_padding_mask, attn_mask=attn_mask,
+                need_weights=need_weights, deterministic=deterministic,
+            )
+        if self.out_layernorm:
+            src = nn.LayerNorm(name="out_ln")(src)
+        return src, attn_weights
+
+
+class InputPeEncoder(nn.Module):
+    """Attribute MLP combined with the pose PE. Ref input_pe_encoder.py:8-61."""
+
+    hidden_dim: int
+    pe_dim: int
+    n_layer: int = 2
+    mlp_dropout_p: Optional[float] = 0.1
+    mlp_use_layernorm: bool = False
+    pe_mode: str = "cat"  # input, cat, add
+
+    @nn.compact
+    def __call__(
+        self, valid: jnp.ndarray, attr: jnp.ndarray, pe: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        if self.pe_mode == "input":
+            out_dim = self.hidden_dim
+            x_in = jnp.concatenate([attr, pe], axis=-1)
+        elif self.pe_mode == "cat":
+            out_dim = self.hidden_dim - self.pe_dim
+            assert out_dim >= 32
+            x_in = attr
+        elif self.pe_mode == "add":
+            out_dim = self.hidden_dim
+            assert self.pe_dim == self.hidden_dim
+            x_in = attr
+        else:
+            raise NotImplementedError(self.pe_mode)
+
+        x = MLP(
+            [out_dim] * self.n_layer,
+            dropout_p=self.mlp_dropout_p,
+            use_layernorm=self.mlp_use_layernorm,
+            end_layer_activation=False,
+            name="mlp",
+        )(x_in, deterministic=deterministic)
+
+        if self.pe_mode == "cat":
+            x = jnp.concatenate([x, pe], axis=-1)
+        elif self.pe_mode == "add":
+            x = x + pe
+        return jnp.where(valid[..., None], x, 0.0)
+
+
+def temporal_aggregate(x: jnp.ndarray, valid: jnp.ndarray, mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregate a [B, T, A, D] sequence over T. Ref agent_temporal.py:7-39.
+
+    Returns ([B, A, D], [B, A]).
+    """
+    if mode == "max":
+        agg = jnp.max(x, axis=1)
+    elif mode == "last":
+        agg = x[:, -1]
+    elif mode == "max_valid":
+        agg = jnp.max(jnp.where(valid[..., None], x, -1e3), axis=1)
+    elif mode == "last_valid":
+        n_step = valid.shape[1]
+        # index of last valid step (first True scanning backwards)
+        idx = n_step - 1 - jnp.argmax(valid[:, ::-1], axis=1)  # [B, A]
+        agg = jnp.take_along_axis(x, idx[:, None, :, None], axis=1)[:, 0]
+    elif mode == "mean_valid":
+        denom = jnp.sum(valid, axis=1) + jnp.finfo(x.dtype).eps
+        agg = jnp.sum(x, axis=1) / denom[..., None]
+    else:
+        raise NotImplementedError(mode)
+    valid_agg = jnp.any(valid, axis=1)
+    return jnp.where(valid_agg[..., None], agg, 0.0), valid_agg
+
+
+class StackedGRU(nn.Module):
+    """num_layers GRU cells over flattened (batch*agent) rows.
+
+    Ref agent_temporal.py:111-153 (MultiAgentGRULoop). The hidden state is
+    zeroed for invalid agents after every step. Single-step mode consumes
+    x [B, A, D] + h [L, B, A, D]; sequence mode scans over the step axis of
+    x [B, T, A, D] (used by the latent/dest encoders).
+    """
+
+    hidden_dim: int
+    num_layers: int = 3
+    dropout: float = 0.1
+
+    def setup(self):
+        self.cells = [nn.GRUCell(self.hidden_dim, name=f"gru{i}") for i in range(self.num_layers)]
+        if self.dropout > 0:
+            self.do = nn.Dropout(self.dropout)
+        else:
+            self.do = None
+
+    def _step(self, x, valid, h, deterministic):
+        """x [B, A, D], valid [B, A], h [L, B, A, D] -> (y, h')."""
+        hs = []
+        inp = x
+        for i, cell in enumerate(self.cells):
+            h_i, y = cell(h[i], inp)
+            inp = y
+            if self.do is not None and i + 1 != self.num_layers:
+                inp = self.do(inp, deterministic=deterministic)
+            hs.append(h_i)
+        h_new = jnp.stack(hs, axis=0)
+        invalid = ~valid[..., None]
+        h_new = jnp.where(invalid[None], 0.0, h_new)
+        y = jnp.where(invalid, 0.0, inp)
+        return y, h_new
+
+    def init_hidden(self, batch_shape: Tuple[int, ...]) -> jnp.ndarray:
+        return jnp.zeros((self.num_layers, *batch_shape, self.hidden_dim))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        valid: jnp.ndarray,
+        h: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        if valid.ndim == 2:  # single step
+            if h is None:
+                h = self.init_hidden(valid.shape)
+            return self._step(x, valid, h, deterministic)
+        # sequence mode: scan over T
+        B, T, A = valid.shape
+        if h is None:
+            h = self.init_hidden((B, A))
+
+        ys = []
+        for t in range(T):
+            y, h = self._step(x[:, t], valid[:, t], h, deterministic)
+            ys.append(y)
+        return jnp.stack(ys, axis=1), None
+
+
+class MultiAgentTF(nn.Module):
+    """Self-attention among agents at one step. Ref agent_interaction.py:9-107.
+
+    The reference special-cases batch rows with a single valid agent by
+    slicing them out in Python (their features pass through unchanged); here
+    the transformer always runs and a per-row select restores the input for
+    those rows — same semantics, no dynamic shapes.
+    """
+
+    hidden_dim: int
+    n_layer: int = 3
+    mask_self_agent: bool = True
+    detach_tgt: bool = False
+    attn_to_map_aware_feature: bool = True
+    tf_kwargs: dict = None
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feature_map_aware: jnp.ndarray,  # [B(, T), A, D]
+        feature: jnp.ndarray,
+        valid: jnp.ndarray,  # [B(, T), A]
+        need_weights: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        tf_kwargs = dict(self.tf_kwargs or {})
+        seq = valid.ndim == 3
+        if seq:
+            B, T, A = valid.shape
+            fma = feature_map_aware.reshape(B * T, A, -1)
+            f = feature.reshape(B * T, A, -1)
+            v = valid.reshape(B * T, A)
+        else:
+            fma, f, v = feature_map_aware, feature, valid
+            A = v.shape[-1]
+
+        x = fma
+        tgt = fma if self.attn_to_map_aware_feature else f
+        if self.detach_tgt:
+            tgt = jax.lax.stop_gradient(tgt)
+
+        attn_mask = jnp.eye(A, dtype=bool)[None] if self.mask_self_agent else None
+        out, w = TransformerBlock(
+            d_model=self.hidden_dim, n_layer=self.n_layer,
+            compute_dtype=self.compute_dtype, name="tf", **tf_kwargs,
+        )(
+            x, src_padding_mask=~v, tgt=tgt, tgt_padding_mask=~v,
+            attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
+        )
+
+        if self.mask_self_agent:
+            # rows with <=1 valid agent keep the raw input (ref :61-93)
+            single = jnp.sum(v, axis=-1) == 1
+            out = jnp.where(single[:, None, None], x, out)
+            if need_weights and w is not None:
+                w = jnp.where(single[:, None, None], 0.0, w)
+
+        if seq:
+            out = out.reshape(B, T, A, -1)
+            if w is not None:
+                w = w.reshape(B, T, A, A)
+        return out, w
+
+
+class AddLatentGoal(nn.Module):
+    """Inject a latent/goal feature into the policy feature.
+
+    Ref add_latent_goal.py:9-77 incl. the res_add/res_cat variants and the
+    z_valid gating (invalid-z agents keep the raw feature).
+    """
+
+    hidden_dim: int
+    in_dim: int
+    dummy: bool = False
+    mode: str = "cat"  # add, mul, cat
+    res_cat: bool = False
+    res_add: bool = True
+    n_layer_mlp_in: int = 2
+    n_layer_mlp_out: int = 2
+    mlp_in_use_layernorm: bool = False
+    mlp_out_use_layernorm: bool = False
+    mlp_dropout_p: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, A, D]
+        x_valid: jnp.ndarray,  # [B, A]
+        z: Optional[jnp.ndarray],  # [B, A, in_dim]
+        z_valid: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if self.dummy:
+            return jnp.where(x_valid[..., None], x, 0.0)
+
+        z = MLP(
+            [self.hidden_dim] * self.n_layer_mlp_in,
+            dropout_p=self.mlp_dropout_p, use_layernorm=self.mlp_in_use_layernorm, name="mlp_in",
+        )(z, z_valid, deterministic=deterministic)
+
+        if self.mode == "add":
+            h = x + z
+        elif self.mode == "mul":
+            h = x * z
+        else:
+            h = jnp.concatenate([x, z], axis=-1)
+
+        h = MLP(
+            [self.hidden_dim] * self.n_layer_mlp_out,
+            dropout_p=self.mlp_dropout_p, use_layernorm=self.mlp_out_use_layernorm, name="mlp_out",
+        )(h, deterministic=deterministic)
+
+        if self.res_cat:
+            h = MLP(
+                [self.hidden_dim] * self.n_layer_mlp_out,
+                dropout_p=self.mlp_dropout_p, use_layernorm=self.mlp_out_use_layernorm, name="mlp_res_cat",
+            )(jnp.concatenate([x, h, z], axis=-1), deterministic=deterministic)
+
+        h = jnp.where(z_valid[..., None], h, 0.0)
+        if self.res_add:  # h + x if z_valid else x
+            h = h + x
+        else:  # h if z_valid else x
+            h = h + jnp.where(z_valid[..., None], 0.0, x)
+        return jnp.where(x_valid[..., None], h, 0.0)
+
+
+class ActionHead(nn.Module):
+    """DiagGaussian action head with optional per-type branches.
+
+    Ref action_head.py:9-98: branch_type=True sums 3 per-type MLPs under the
+    type masks; per-type trainable log_std initialized at -2
+    (configs/model/traffic_bots.yaml:135-138).
+    """
+
+    hidden_dim: int
+    action_dim: int = 2
+    use_layernorm: bool = False
+    log_std_init: Optional[float] = -2.0
+    branch_type: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: jnp.ndarray, agent_type: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (mean [B, A, 2], log_std [B, A, 2])."""
+        if self.branch_type:
+            mask_type = agent_type & valid[..., None]  # [B, A, 3]
+            mean = 0.0
+            for i in range(3):
+                mean += MLP(
+                    [self.hidden_dim, self.action_dim],
+                    end_layer_activation=False, use_layernorm=self.use_layernorm,
+                    dropout_p=None, name=f"mlp_mean{i}",
+                )(x, mask_type[:, :, i], deterministic=deterministic)
+            if self.log_std_init is None:
+                log_std = 0.0
+                for i in range(3):
+                    log_std += MLP(
+                        [self.hidden_dim, self.action_dim],
+                        end_layer_activation=False, use_layernorm=self.use_layernorm,
+                        dropout_p=None, name=f"mlp_log_std{i}",
+                    )(x, mask_type[:, :, i], deterministic=deterministic)
+            else:
+                log_std_p = self.param(
+                    "log_std", lambda k: jnp.full((3, self.action_dim), self.log_std_init)
+                )
+                log_std = jnp.einsum("bat,td->bad", mask_type.astype(x.dtype), log_std_p)
+        else:
+            mean = MLP(
+                [self.hidden_dim, self.action_dim],
+                end_layer_activation=False, use_layernorm=self.use_layernorm,
+                dropout_p=None, name="mlp_mean",
+            )(x, valid, deterministic=deterministic)
+            if self.log_std_init is None:
+                log_std = MLP(
+                    [self.hidden_dim, self.action_dim],
+                    end_layer_activation=False, use_layernorm=self.use_layernorm,
+                    dropout_p=None, name="mlp_log_std",
+                )(x, valid, deterministic=deterministic)
+            else:
+                log_std_p = self.param(
+                    "log_std", lambda k: jnp.full((self.action_dim,), self.log_std_init)
+                )
+                log_std = jnp.broadcast_to(log_std_p, mean.shape)
+        return mean, log_std
