@@ -12,10 +12,9 @@ def _scene(n=1, a=2, n_pl=4, n_tl=3):
     map_valid = np.zeros((n, n_pl, 20), dtype=bool)
     map_valid[:, :, :5] = True
     map_type = np.zeros((n, n_pl, 11), dtype=bool)
-    map_type[:, 0, 0] = True  # freeway lane
-    map_type[:, 1, 4] = True  # road edge
-    map_type[:, 2, 1] = True  # surface street
-    map_type[:, 3, 3] = True  # bike lane
+    pl_types = [0, 4, 1, 3]  # freeway, road edge, surface street, bike lane
+    for i in range(min(n_pl, 4)):
+        map_type[:, i, pl_types[i]] = True
     map_pos = rng.uniform(-50, 50, size=(n, n_pl, 20, 2)).astype(np.float32)
     map_dir = np.ones((n, n_pl, 20, 2), dtype=np.float32)
     agent_type = np.zeros((n, a, 3), dtype=bool)
@@ -119,10 +118,12 @@ def test_run_red_light():
     tl_valid = jnp.asarray(np.array([[True, False, False]]))
     tl_state = np.zeros((1, n_tl, 5), dtype=bool)
     tl_state[0, 0, 1] = True  # STOP
-    # stop point just ahead of a fast agent: inside box at t, outside at t+dt
+    # stop point just ahead of a fast agent: inside the oriented box at t,
+    # outside at t+dt (box half-length 4*0.5*0.6=1.2; at 40 m/s the box
+    # center advances 4 m in 0.1 s)
     tl_pos = np.zeros((1, n_tl, 2), np.float32)
     tl_pos[0, 0] = [1.0, 0.0]
-    state = jnp.asarray(np.array([[[0.0, 0.0, 0.0, 20.0]]], np.float32))
+    state = jnp.asarray(np.array([[[0.0, 0.0, 0.0, 40.0]]], np.float32))
     _, v = RU.check_rules(
         cfg, consts, rs, jnp.ones((1, 1), bool), state,
         tl_valid, jnp.asarray(tl_pos), jnp.asarray(tl_state),

@@ -1,0 +1,430 @@
+"""Declarative configuration for the full framework.
+
+Mirrors the capability surface of the reference Hydra tree
+(/root/reference/configs/model/traffic_bots.yaml and configs/**): every switch
+used by the paper's ablations exists here, and `ablation()` reproduces the
+recipes of /root/reference/docs/ablation_models.md (SimNet, TrafficSim,
+positional-encoding variants, BC baselines).
+
+Plain dataclasses (not pytrees): configs are static at trace time, so flags
+compile away and each config variant gets its own specialized XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Data contract (scale facts; ref data_h5_womd.py:78-84)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    n_step: int = 91
+    n_step_history: int = 11
+    n_agent: int = 64
+    n_agent_no_sim: int = 256
+    n_pl: int = 1024
+    n_pl_node: int = 20
+    n_pl_type: int = 11
+    n_tl: int = 100
+    n_tl_stop: int = 40
+    n_tl_state: int = 5
+    n_agent_type: int = 3
+    n_cmd: int = 8
+    batch_size: int = 4
+    data_dir: str = "data/h5_womd"
+    filename_train: str = "training"
+    filename_val: str = "validation"
+    filename_test: str = "testing"
+
+    @property
+    def agent_attr_dim(self) -> int:
+        # vel(2) + spd(1) + yaw_rate(1) + acc(1) + size(3) + type(3); ref sc_input.py:21-28
+        return 11
+
+    @property
+    def map_attr_dim(self) -> int:
+        # type one-hot(11) + node one-hot(n_pl_node); ref sc_input.py:31-32
+        return self.n_pl_type + self.n_pl_node
+
+    @property
+    def tl_attr_dim(self) -> int:
+        return self.n_tl_state
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """ref configs/model/traffic_bots.yaml:41-49."""
+
+    d_model: int = 128
+    n_head: int = 4
+    dropout_p: float = 0.1
+    norm_first: bool = True
+    bias: bool = True
+    activation: str = "relu"
+    d_feedforward: int = 128
+    out_layernorm: bool = False
+
+
+@dataclass(frozen=True)
+class InputPeEncoderConfig:
+    """ref configs/model/traffic_bots.yaml:50-54."""
+
+    pe_mode: str = "cat"  # input, cat, add
+    n_layer: int = 2
+    mlp_dropout_p: float = 0.1
+    mlp_use_layernorm: bool = False
+
+
+@dataclass(frozen=True)
+class MapEncoderConfig:
+    """ref configs/model/traffic_bots.yaml:55-60."""
+
+    pool_mode: str = "max"  # max, mean, first
+    densetnt_vectornet: bool = True
+    n_layer: int = 3
+    mlp_dropout_p: float = 0.1
+    mlp_use_layernorm: bool = False
+
+
+@dataclass(frozen=True)
+class GoalPredictorConfig:
+    """ref configs/model/traffic_bots.yaml:63-68."""
+
+    mode: str = "mlp"  # transformer, transformer_aggr, mlp, attn
+    n_layer_gru: int = 3
+    use_layernorm: bool = True
+    res_add_gru: bool = True
+    detach_features: bool = True
+
+
+@dataclass(frozen=True)
+class GoalManagerConfig:
+    """ref configs/model/traffic_bots.yaml:61-71."""
+
+    disable_if_reached: bool = True
+    goal_predictor: GoalPredictorConfig = field(default_factory=GoalPredictorConfig)
+    goal_attr_mode: str = "dest"  # dest, goal_xy, dummy
+    goal_in_local: bool = True
+    dest_detach_map_feature: bool = False
+
+
+@dataclass(frozen=True)
+class DistEncoderConfig:
+    """ref configs/model/traffic_bots.yaml:77-86."""
+
+    dist_type: str = "diag_gaus"  # dummy, std_gaus, diag_gaus, cat
+    n_cat: int = 8
+    log_std: Optional[float] = -1.0  # None => learned per-element log_std MLP
+    use_layernorm: bool = False
+
+
+@dataclass(frozen=True)
+class LatentEncoderConfig:
+    """ref configs/model/traffic_bots.yaml:72-86."""
+
+    latent_dim: int = 16
+    temporal_down_sample_rate: int = 5
+    shared_post_prior_net: bool = False
+    shared_transformer_as: bool = True
+    latent_prior: DistEncoderConfig = field(default_factory=DistEncoderConfig)
+    latent_post: DistEncoderConfig = field(default_factory=DistEncoderConfig)
+
+
+@dataclass(frozen=True)
+class AgentTemporalConfig:
+    """ref configs/model/traffic_bots.yaml:89-92."""
+
+    kind: str = "gru_loop"  # gru_loop, gru_unmasked (TrafficSim), dummy
+    num_layers: int = 3
+    dropout: float = 0.1
+
+
+@dataclass(frozen=True)
+class AgentInteractionConfig:
+    """ref configs/model/traffic_bots.yaml:93-97."""
+
+    n_layer: int = 3
+    mask_self_agent: bool = True
+    detach_tgt: bool = False
+    attn_to_map_aware_feature: bool = True
+
+
+@dataclass(frozen=True)
+class AddLatentGoalConfig:
+    """ref configs/model/traffic_bots.yaml:98-119."""
+
+    mode: str = "cat"  # add, mul, cat
+    res_cat: bool = False
+    res_add: bool = True
+    n_layer_mlp_in: int = 2
+    n_layer_mlp_out: int = 2
+    mlp_in_use_layernorm: bool = False
+    mlp_out_use_layernorm: bool = False
+    dropout_p: float = 0.1
+
+
+@dataclass(frozen=True)
+class ActionHeadConfig:
+    """ref configs/model/traffic_bots.yaml:135-138."""
+
+    log_std: Optional[float] = -2.0
+    branch_type: bool = True
+    use_layernorm: bool = False
+
+
+@dataclass(frozen=True)
+class DynamicsTypeConfig:
+    kind: str = "multipathpp"  # multipathpp, state_integrator
+    max_acc: float = 5.0
+    max_yaw_rate: float = 1.5
+    disable_neg_spd: bool = False
+    max_v: float = 3.0
+
+    def as_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+@dataclass(frozen=True)
+class DynamicsConfig:
+    """ref configs/model/traffic_bots.yaml:140-155."""
+
+    use_veh_dynamics_for_all: bool = False
+    dt: float = 0.1
+    veh: DynamicsTypeConfig = field(default_factory=lambda: DynamicsTypeConfig(max_acc=5, max_yaw_rate=1.5))
+    cyc: DynamicsTypeConfig = field(default_factory=lambda: DynamicsTypeConfig(max_acc=6, max_yaw_rate=3))
+    ped: DynamicsTypeConfig = field(default_factory=lambda: DynamicsTypeConfig(max_acc=7, max_yaw_rate=7))
+
+
+@dataclass(frozen=True)
+class RewardConfigC:
+    """ref configs/model/traffic_bots.yaml:157-172."""
+
+    w_collision: float = 0.0
+    reduce_collision_with_max: bool = True
+    use_il_loss: bool = True
+    w_pos: float = 1e-1
+    criterion_pos: str = "SmoothL1Loss"
+    w_rot: float = 1e1
+    criterion_rot: str = "SmoothL1Loss"
+    angular_type_rot: str = "cosine"
+    w_spd: float = 1e-1
+    criterion_spd: str = "SmoothL1Loss"
+
+
+@dataclass(frozen=True)
+class TeacherForcingConfigC:
+    step_spawn_agent: int = 10
+    step_warm_start: int = 10
+    step_horizon: int = 0
+    step_horizon_decrease_per_epoch: int = 0
+    prob_forcing_agent: float = 0.0
+    prob_forcing_agent_decrease_per_epoch: float = 0.0
+
+
+@dataclass(frozen=True)
+class RuleCheckerConfig:
+    """ref configs/model/traffic_bots.yaml:240-244."""
+
+    enable_check_collided: bool = False
+    enable_check_run_road_edge: bool = False
+    enable_check_run_red_light: bool = False
+    enable_check_passive: bool = False
+    collision_size_scale: float = 1.1
+
+
+@dataclass(frozen=True)
+class TrainingMetricsConfig:
+    """ref configs/model/traffic_bots.yaml:209-219."""
+
+    w_vae_kl: float = 1e-1
+    kl_balance_scale: float = -1.0
+    kl_free_nats: float = 1e-2
+    kl_for_unseen_agent: bool = True
+    w_diffbar_reward: float = 1.0
+    w_goal: float = 1.0
+    w_relevant_agent: float = 0.0
+    p_loss_for_irrelevant: float = -1.0
+    loss_for_teacher_forcing: bool = True
+    step_training_start: int = 10
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """ref configs/model/traffic_bots.yaml:221-229."""
+
+    lr: float = 3e-4
+    lr_goal: float = 3e-4
+    scheduler_gamma: float = 0.5
+    scheduler_step_size: int = 7  # epochs
+    gradient_clip_val: float = 5.0  # ref configs/trainer/default.yaml:12
+
+
+@dataclass(frozen=True)
+class PostProcessingConfig:
+    """ref configs/model/traffic_bots.yaml:179-186."""
+
+    k_pred: int = 6
+    use_ade: bool = True
+    score_temperature: float = 1e2
+    mpa_nms_thresh: Tuple[float, ...] = ()
+    mtr_nms_thresh: Tuple[float, ...] = ()
+    aggr_thresh: Tuple[float, ...] = ()
+    n_iter_em: int = 3
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """The policy network tree. ref configs/model/traffic_bots.yaml:34-125."""
+
+    hidden_dim: int = 128
+    add_goal_latent_first: bool = False
+    resample_latent: bool = False
+    n_layer_tf_as2pl: int = 3
+    n_layer_tf_as2tl: int = 3
+    tf_cfg: TransformerConfig = field(default_factory=TransformerConfig)
+    input_pe_encoder: InputPeEncoderConfig = field(default_factory=InputPeEncoderConfig)
+    map_encoder: MapEncoderConfig = field(default_factory=MapEncoderConfig)
+    goal_manager: GoalManagerConfig = field(default_factory=GoalManagerConfig)
+    latent_encoder: LatentEncoderConfig = field(default_factory=LatentEncoderConfig)
+    temporal_aggregate_mode: str = "max_valid"
+    agent_temporal: AgentTemporalConfig = field(default_factory=AgentTemporalConfig)
+    agent_interaction: AgentInteractionConfig = field(default_factory=AgentInteractionConfig)
+    add_latent: AddLatentGoalConfig = field(default_factory=AddLatentGoalConfig)
+    add_goal: AddLatentGoalConfig = field(
+        default_factory=lambda: AddLatentGoalConfig(n_layer_mlp_in=3, mlp_in_use_layernorm=True)
+    )
+    interaction_first: bool = True
+    n_layer_final_mlp: int = -1
+    # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
+    pe_dim: int = 96
+    pose_pe_map: str = "pe_xy_yaw"
+    pose_pe_tl: str = "pe_xy_yaw"
+    pose_pe_agent: str = "pe_xy_yaw"
+    dropout_p_history: float = -1.0
+    perturb_input_to_latent: bool = False
+    perturb_max_meter: float = 50.0
+    perturb_max_rad: float = 3.14
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Composition root (ref configs/run.yaml + waymo_motion.py hparams)."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    dynamics: DynamicsConfig = field(default_factory=DynamicsConfig)
+    action_head: ActionHeadConfig = field(default_factory=ActionHeadConfig)
+    reward: RewardConfigC = field(default_factory=RewardConfigC)
+    rule_checker: RuleCheckerConfig = field(default_factory=RuleCheckerConfig)
+    training_metrics: TrainingMetricsConfig = field(default_factory=TrainingMetricsConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    post_processing: PostProcessingConfig = field(default_factory=PostProcessingConfig)
+    tf_training: TeacherForcingConfigC = field(default_factory=TeacherForcingConfigC)
+    tf_reactive_replay: TeacherForcingConfigC = field(
+        default_factory=lambda: TeacherForcingConfigC(step_spawn_agent=90)
+    )
+    tf_joint_future_pred: TeacherForcingConfigC = field(default_factory=TeacherForcingConfigC)
+
+    time_step_current: int = 10
+    time_step_gt: int = 90
+    time_step_end: int = 90
+    time_step_sim_start: int = 1
+    n_joint_future: int = 6
+    interactive_challenge: bool = False
+
+    step_detach_hidden: int = -1
+    p_drop_hidden: float = -1.0
+    p_training_rollout_prior: float = 0.1
+    detach_state_policy: bool = True
+    training_deterministic_action: bool = True
+
+    seed: int = 2023
+    precision: str = "fp32"  # fp32 | bf16 (encoder compute dtype; physics stays fp32)
+
+
+# ---------------------------------------------------------------------------
+# Ablation presets (ref docs/ablation_models.md)
+# ---------------------------------------------------------------------------
+
+
+def ablation(name: str, base: Optional[ExperimentConfig] = None) -> ExperimentConfig:
+    """Reproduce the reference ablation recipes by name."""
+    cfg = base or ExperimentConfig()
+    m = cfg.model
+    if name == "traffic_bots":
+        return cfg
+    if name == "simnet":
+        # no latent, no goal (docs/ablation_models.md SimNet)
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                goal_manager=replace(m.goal_manager, goal_attr_mode="dummy"),
+                latent_encoder=replace(
+                    m.latent_encoder,
+                    latent_prior=replace(m.latent_encoder.latent_prior, dist_type="dummy"),
+                    latent_post=replace(m.latent_encoder.latent_post, dist_type="dummy"),
+                ),
+            ),
+            training_metrics=replace(cfg.training_metrics, w_vae_kl=0.0, w_goal=0.0),
+        )
+    if name == "trafficsim":
+        # StateIntegrator dynamics + resample latent + goal/latent first
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                resample_latent=True,
+                add_goal_latent_first=True,
+                interaction_first=False,
+                agent_temporal=replace(m.agent_temporal, kind="gru_unmasked"),
+                temporal_aggregate_mode="last",
+                goal_manager=replace(m.goal_manager, goal_attr_mode="goal_xy"),
+            ),
+            dynamics=replace(
+                cfg.dynamics,
+                use_veh_dynamics_for_all=True,
+                veh=DynamicsTypeConfig(kind="state_integrator", max_v=27.0),
+            ),
+        )
+    if name == "bc":
+        # behavior cloning: full-horizon teacher forcing
+        return replace(cfg, tf_training=replace(cfg.tf_training, step_horizon=91))
+    if name in ("pe_xy_dir", "pe_xy_unit_dir", "xy_dir", "mpa_pl"):
+        return replace(
+            cfg, model=replace(m, pose_pe_map=name, pose_pe_tl=name, pose_pe_agent=name)
+        )
+    if name == "no_interaction":
+        return replace(cfg, model=replace(m, agent_interaction=replace(m.agent_interaction, n_layer=0)))
+    if name == "goal_xy":
+        return replace(cfg, model=replace(m, goal_manager=replace(m.goal_manager, goal_attr_mode="goal_xy")))
+    if name == "latent_cat":
+        le = m.latent_encoder
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                latent_encoder=replace(
+                    le,
+                    latent_prior=replace(le.latent_prior, dist_type="cat"),
+                    latent_post=replace(le.latent_post, dist_type="cat"),
+                ),
+            ),
+        )
+    if name == "latent_std_gaus":
+        le = m.latent_encoder
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                latent_encoder=replace(
+                    le,
+                    latent_prior=replace(le.latent_prior, dist_type="std_gaus"),
+                ),
+            ),
+        )
+    raise ValueError(f"unknown ablation {name}")

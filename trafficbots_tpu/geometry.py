@@ -46,28 +46,41 @@ def sincos2rot(in_sin: jnp.ndarray, in_cos: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _rowvec_matmul(v: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """v [..., M, 2] @ rot [..., 2, 2] expanded elementwise.
+
+    2x2 rotations are computed on the VPU instead of the MXU: TPU fp32
+    matmuls default to reduced-precision passes, which is unacceptable for
+    coordinate transforms (meters-scale inputs would lose ~cm precision).
+    """
+    r = rot[..., None, :, :]  # [..., 1, 2, 2] broadcast over M
+    x = v[..., 0:1] * r[..., 0, 0:1] + v[..., 1:2] * r[..., 1, 0:1]
+    y = v[..., 0:1] * r[..., 0, 1:2] + v[..., 1:2] * r[..., 1, 1:2]
+    return jnp.concatenate([x, y], axis=-1)
+
+
 def pos2local(in_pos: jnp.ndarray, local_pos: jnp.ndarray, local_rot: jnp.ndarray) -> jnp.ndarray:
     """Transform positions into a local frame.
 
     in_pos: [..., M, 2]; local_pos: [..., 1, 2]; local_rot: [..., 2, 2].
     Ref: transform_utils.py:146-157.
     """
-    return jnp.matmul(in_pos - local_pos, local_rot)
+    return _rowvec_matmul(in_pos - local_pos, local_rot)
 
 
 def pos2global(in_pos: jnp.ndarray, local_pos: jnp.ndarray, local_rot: jnp.ndarray) -> jnp.ndarray:
     """Inverse of pos2local. Ref: transform_utils.py:160-171."""
-    return jnp.matmul(in_pos, jnp.swapaxes(local_rot, -1, -2)) + local_pos
+    return _rowvec_matmul(in_pos, jnp.swapaxes(local_rot, -1, -2)) + local_pos
 
 
 def dir2local(in_dir: jnp.ndarray, local_rot: jnp.ndarray) -> jnp.ndarray:
     """Ref: transform_utils.py:174-184."""
-    return jnp.matmul(in_dir, local_rot)
+    return _rowvec_matmul(in_dir, local_rot)
 
 
 def dir2global(in_dir: jnp.ndarray, local_rot: jnp.ndarray) -> jnp.ndarray:
     """Ref: transform_utils.py:187-197."""
-    return jnp.matmul(in_dir, jnp.swapaxes(local_rot, -1, -2))
+    return _rowvec_matmul(in_dir, jnp.swapaxes(local_rot, -1, -2))
 
 
 def rad2local(in_rad: jnp.ndarray, local_rad: jnp.ndarray, cast: bool = True) -> jnp.ndarray:

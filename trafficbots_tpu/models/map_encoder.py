@@ -1,0 +1,113 @@
+"""Polyline map encoder (VectorNet / DenseTNT style).
+
+Ref /root/reference/src/models/modules/map_encoder.py:11-115. The per-node
+encoder runs either a DenseTNT self-attention over the 20 nodes of each
+polyline (default) or the VectorNet max-pool-concat MLP stack, followed by a
+pool over nodes and a single self-attention layer over the 1024 polylines.
+This is the heaviest encoder (SURVEY.md section 3.1) — shapes are static and
+batched as [n_scene*n_pl, n_node, d] so XLA tiles it onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import InputPeEncoderConfig, MapEncoderConfig, TransformerConfig
+from .modules import MLP, InputPeEncoder, TransformerBlock
+
+
+def tf_block_kwargs(tf_cfg: TransformerConfig) -> dict:
+    return dict(
+        d_model=tf_cfg.d_model,
+        n_head=tf_cfg.n_head,
+        d_feedforward=tf_cfg.d_feedforward,
+        dropout_p=tf_cfg.dropout_p,
+        activation=tf_cfg.activation,
+        norm_first=tf_cfg.norm_first,
+        bias=tf_cfg.bias,
+        out_layernorm=tf_cfg.out_layernorm,
+    )
+
+
+class MapEncoder(nn.Module):
+    hidden_dim: int
+    pe_dim: int
+    cfg: MapEncoderConfig
+    pe_cfg: InputPeEncoderConfig
+    tf_cfg: TransformerConfig
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        map_valid: jnp.ndarray,  # [n_scene, n_pl, n_node] bool
+        map_attr: jnp.ndarray,  # [n_scene, n_pl, n_node, attr_dim]
+        map_pe: jnp.ndarray,  # [n_scene, n_pl, n_node, pe_dim]
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (map_feature [n_scene, n_pl, d], map_valid [n_scene, n_pl])."""
+        n_scene, n_pl, n_node = map_valid.shape
+        tf_kwargs = tf_block_kwargs(self.tf_cfg)
+
+        pl_feature = InputPeEncoder(
+            hidden_dim=self.hidden_dim,
+            pe_dim=self.pe_dim,
+            n_layer=self.pe_cfg.n_layer,
+            mlp_dropout_p=self.pe_cfg.mlp_dropout_p,
+            mlp_use_layernorm=self.pe_cfg.mlp_use_layernorm,
+            pe_mode=self.pe_cfg.pe_mode,
+            name="input_pe",
+        )(map_valid, map_attr, map_pe, deterministic=deterministic)
+
+        if self.cfg.densetnt_vectornet:
+            flat = pl_feature.reshape(n_scene * n_pl, n_node, self.hidden_dim)
+            flat_valid = map_valid.reshape(n_scene * n_pl, n_node)
+            flat, _ = TransformerBlock(
+                n_layer=self.cfg.n_layer, compute_dtype=self.compute_dtype,
+                name="densetnt", **tf_kwargs,
+            )(
+                flat, src_padding_mask=~flat_valid, tgt=flat,
+                tgt_padding_mask=~flat_valid, deterministic=deterministic,
+            )
+            pl_feature = flat.reshape(n_scene, n_pl, n_node, self.hidden_dim)
+        else:
+            # VectorNet: per-node MLP to d/2, concat with max-pooled context
+            for i in range(self.cfg.n_layer):
+                is_last = i == self.cfg.n_layer - 1
+                end_act = (not self.tf_cfg.norm_first) if is_last else True
+                enc = MLP(
+                    [self.hidden_dim // 2],
+                    dropout_p=self.cfg.mlp_dropout_p,
+                    use_layernorm=self.cfg.mlp_use_layernorm,
+                    end_layer_activation=end_act,
+                    name=f"vn_mlp{i}",
+                )(pl_feature, map_valid, fill_invalid=float("-inf"), deterministic=deterministic)
+                pooled = jnp.max(enc, axis=2, keepdims=True)
+                pl_feature = jnp.concatenate(
+                    [enc, jnp.broadcast_to(pooled, enc.shape)], axis=-1
+                )
+
+        if self.cfg.pool_mode == "max":
+            pl_feature = jnp.where(map_valid[..., None], pl_feature, float("-inf"))
+            pl_feature = jnp.max(pl_feature, axis=2)
+        elif self.cfg.pool_mode == "first":
+            pl_feature = pl_feature[:, :, 0]
+        elif self.cfg.pool_mode == "mean":
+            pl_feature = jnp.where(map_valid[..., None], pl_feature, 0.0)
+            denom = jnp.sum(map_valid, axis=-1, keepdims=True) + jnp.finfo(pl_feature.dtype).eps
+            pl_feature = jnp.sum(pl_feature, axis=2) / denom
+        else:
+            raise NotImplementedError(self.cfg.pool_mode)
+
+        pl_valid = jnp.any(map_valid, axis=-1)
+        pl_feature = jnp.where(pl_valid[..., None], pl_feature, 0.0)
+
+        pl_feature, _ = TransformerBlock(
+            n_layer=1, compute_dtype=self.compute_dtype, name="self_attn", **tf_kwargs
+        )(
+            pl_feature, src_padding_mask=~pl_valid, tgt=pl_feature,
+            tgt_padding_mask=~pl_valid, deterministic=deterministic,
+        )
+        return pl_feature, pl_valid

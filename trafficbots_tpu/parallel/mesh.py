@@ -1,0 +1,77 @@
+"""Device mesh + sharding helpers for data-parallel training.
+
+TPU-native replacement for the reference's PyTorch-Lightning DDP
+(run.py:51-53, NCCL allreduce): scenes shard over a 1-D "data" mesh axis,
+parameters replicate, and gradients are reduced with `psum` over ICI inside
+a single `shard_map`-wrapped train step. Multi-slice scaling uses the same
+program over a ("data",) mesh spanning slices (DCN handled by the runtime).
+
+The model is ~4M params (hidden 128), so pure DP is the right parallelism —
+matching the reference's topology analysis (SURVEY.md section 2.2). The mesh
+API still exposes an optional "model" axis for future TP experiments.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices)
+    return Mesh(np.asarray(devices[:n_data]).reshape(n_data), axis_names=("data",))
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    """Place a host batch with scenes sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def _put(x):
+        return jax.device_put(x, sharding)
+
+    return {k: _put(v) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_train_step(
+    train_step_fn: Callable,
+    mesh: Mesh,
+) -> Callable:
+    """Wrap a per-shard (params, opt_state, batch, key) -> (params, opt_state,
+    metrics) step with shard_map: batch sharded over "data", params/opt_state
+    replicated, gradients psum-reduced inside `train_step_fn` via
+    `psum_gradients`.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def mapped(params, opt_state, batch, key):
+        # distinct RNG per shard: fold in the data-axis index
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return train_step_fn(params, opt_state, batch, key)
+
+    return shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+
+def psum_gradients(grads, axis_name: str = "data"):
+    """Average gradients over the data axis (ref: DDP allreduce)."""
+    return jax.lax.pmean(grads, axis_name)
+
+
+def psum_metrics(metrics: Dict[str, jnp.ndarray], axis_name: str = "data"):
+    """Sum metric sums/counters over shards (ref: torchmetrics dist_reduce_fx=sum)."""
+    return {k: jax.lax.psum(v, axis_name) for k, v in metrics.items()}

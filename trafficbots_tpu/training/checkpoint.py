@@ -1,0 +1,75 @@
+"""Orbax checkpointing: {params, opt_state, step/epoch, rng} with best/last.
+
+Replaces the reference's PL ModelCheckpointWB (wandb_callbacks.py:26-73):
+top-1 on the monitored score (val/loss = -mAP of joint future prediction,
+waymo_motion.py:785-790) plus a rolling "last". Metadata mirrors the wandb
+artifact score fields so resume semantics match (run.py:33-47).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, monitor: str = "val/loss", mode: str = "min"):
+        assert _HAS_ORBAX, "orbax is required for checkpointing"
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.best_score: Optional[float] = None
+        self._ckptr = ocp.StandardCheckpointer()
+        self._meta_path = os.path.join(self.directory, "meta.json")
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            self.best_score = meta.get("best_score")
+
+    def _save(self, name: str, state: Dict[str, Any]):
+        path = os.path.join(self.directory, name)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+
+    def save_last(self, state: Dict[str, Any], step: int, metrics: Dict[str, float]):
+        self._save("last", state)
+        self._write_meta(step=step, metrics=metrics)
+
+    def save_if_best(self, state: Dict[str, Any], step: int, metrics: Dict[str, float]) -> bool:
+        score = float(metrics[self.monitor])
+        improved = (
+            self.best_score is None
+            or (self.mode == "min" and score < self.best_score)
+            or (self.mode == "max" and score > self.best_score)
+        )
+        if improved:
+            self.best_score = score
+            self._save("best", state)
+            self._write_meta(step=step, metrics=metrics)
+        return improved
+
+    def _write_meta(self, step: int, metrics: Dict[str, float]):
+        with open(self._meta_path, "w") as f:
+            json.dump(
+                {"best_score": self.best_score, "step": step,
+                 "metrics": {k: float(v) for k, v in metrics.items()}},
+                f, indent=2,
+            )
+
+    def restore(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
+        path = os.path.join(self.directory, name)
+        return self._ckptr.restore(path, target=target)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.directory, name))
