@@ -44,8 +44,8 @@ def synthetic_episode_batch(
 
     for s in range(n_scene):
         for a in range(n_valid):
-            t0 = 0 if a < n_valid // 2 else rng.randint(0, 30)
-            t1 = T if rng.rand() < 0.8 else rng.randint(60, T)
+            t0 = 0 if a < n_valid // 2 else rng.randint(0, max(T // 3, 2))
+            t1 = T if rng.rand() < 0.8 else rng.randint(max(2 * T // 3, 1), T)
             valid[s, t0:t1, a] = True
             x = rng.uniform(-50, 50)
             y = rng.uniform(-50, 50)

@@ -1,0 +1,252 @@
+"""Validation & test loops: rollouts -> metrics -> post-processing -> submission.
+
+Port of the reference's validation_step/test_step/epoch_end orchestration
+(/root/reference/src/pl_modules/waymo_motion.py:574-953). The device-side
+work (two rollouts + post-processing) is one jitted function; the host-side
+work (WOMD metric packing, submissions, videos) consumes buffered outputs at
+the end — replacing the reference's per-batch GPU->CPU hops
+(SURVEY.md hard part #8).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExperimentConfig
+from .data.preprocessing import extract, pre_processing
+from . import orchestration as O
+from .eval import metrics as M
+from .eval.postprocessing import waymo_post_processing
+from .eval.womd import WOMDMetrics
+from .eval.submission import SubWOMD
+from .sim.teacher_forcing import teacher_forcing_mask
+from .training.loss import training_loss
+
+
+def validation_device_step(
+    cfg: ExperimentConfig, model, params, batch: Dict[str, jnp.ndarray], key: jax.Array
+) -> Dict[str, Any]:
+    """Device-side part of validation_step (jittable).
+
+    Returns reactive-replay + joint-future rollout summaries, metric sums,
+    and post-processed prediction dicts. Ref waymo_motion.py:574-753.
+    """
+    k1, k2 = jax.random.split(key)
+    batch = pre_processing(batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=True)
+    feats = O.encode_episode_features(model, params, batch, training=False, key=None)
+    input_dict = extract(batch, "input")
+
+    goal_gt = goal_valid = goal_pred = None
+    if cfg.model.goal_manager.goal_attr_mode != "dummy":
+        goal_gt, goal_valid = O.get_gt_goal(
+            cfg, input_dict["agent_valid"], batch["gt/goal"], batch["gt/dest"]
+        )
+        goal_pred = model.apply(
+            {"params": params}, method="pred_goal",
+            agent_type=batch["ref/agent_type"], map_type=batch["ref/map_type"],
+            agent_state=batch["ref/agent_state"], **feats["input"],
+        )
+
+    latent_post = model.apply(
+        {"params": params}, method="latent", posterior=True, **feats["latent_post"]
+    )
+    latent_prior = model.apply(
+        {"params": params}, method="latent", posterior=False, **feats["latent_prior"]
+    )
+
+    # ---- reactive replay (posterior latent, GT goal, deterministic)
+    mask_tf = teacher_forcing_mask(O.tf_cfg_to_sim(cfg.tf_reactive_replay), batch["gt/valid"])
+    buf_rr = O.reactive_replay(
+        cfg, model, params, batch, feats["input"], latent_post,
+        goal_gt, goal_valid, mask_tf, k1,
+        deterministic_latent=True, deterministic_action=True,
+    )
+    gt_valid_roll = jnp.swapaxes(batch["gt/valid"][:, cfg.time_step_sim_start :], 1, 2)
+    gt_state_roll = jnp.swapaxes(batch["gt/state"][:, cfg.time_step_sim_start :], 1, 2)
+
+    err_rr = M.error_metrics_update(
+        buf_rr.valid, buf_rr.preds, gt_valid_roll, gt_state_roll,
+        buf_rr.override_masks, batch["ref/agent_role"],
+    )
+    rule_rr = M.rule_metrics_update(
+        buf_rr.valid, buf_rr.override_masks, buf_rr.violations, batch["ref/agent_type"]
+    )
+    _, train_m_rr = training_loss(
+        cfg.training_metrics,
+        pred_valid=buf_rr.valid,
+        diffbar_rewards_valid=buf_rr.diffbar_rewards_valid,
+        diffbar_rewards=buf_rr.diffbar_rewards,
+        override_masks=buf_rr.override_masks,
+        agent_role=batch["ref/agent_role"],
+        goal_valid=goal_valid, goal_pred=goal_pred, goal_gt=goal_gt,
+        latent_post=latent_post, latent_prior=latent_prior,
+        step_start=cfg.time_step_sim_start,
+    )
+
+    fs = buf_rr.step_future_start
+    pred_rr = waymo_post_processing(
+        cfg.post_processing,
+        valid=jnp.any(buf_rr.valid, axis=-1),
+        scores=jnp.ones_like(buf_rr.preds[:, :, None, 0, 0]),
+        trajs=buf_rr.preds[:, :, None, fs:],
+        agent_type=batch["ref/agent_type"],
+    )
+
+    # ---- joint future prediction (prior latent, predicted goal, K futures)
+    buf_jf, goal_sample, goal_logp = O.joint_future_pred(
+        cfg, model, params, batch, feats["input"], latent_prior, goal_pred, goal_valid, k2
+    )
+    err_jf = M.error_metrics_update(
+        buf_jf.valid, buf_jf.preds, gt_valid_roll, gt_state_roll,
+        buf_jf.override_masks, batch["ref/agent_role"],
+    )
+    rule_jf = M.rule_metrics_update(
+        buf_jf.valid, buf_jf.override_masks, buf_jf.violations, batch["ref/agent_type"]
+    )
+    pred_jf = waymo_post_processing(
+        cfg.post_processing,
+        valid=jnp.any(buf_jf.valid[:, :, 0], axis=-1),
+        scores=jnp.exp(buf_jf.latent_log_probs[..., 0] + goal_logp),
+        trajs=buf_jf.preds[:, :, :, fs:],
+        agent_type=batch["ref/agent_type"],
+    )
+
+    return {
+        "err_rr": err_rr, "rule_rr": rule_rr, "train_rr": train_m_rr,
+        "err_jf": err_jf, "rule_jf": rule_jf,
+        "pred_rr": pred_rr, "pred_jf": pred_jf,
+        "goal_sample": goal_sample, "goal_logp": goal_logp,
+        "buf_rr_preds": buf_rr.preds, "buf_rr_valid": buf_rr.valid,
+        "buf_jf_preds": buf_jf.preds, "buf_jf_valid": buf_jf.valid,
+    }
+
+
+class Validator:
+    """Host-side accumulation across validation batches + epoch-end compute."""
+
+    def __init__(self, cfg: ExperimentConfig, model, use_native_metrics: bool = True,
+                 sub_rr: Optional[SubWOMD] = None, sub_jf: Optional[SubWOMD] = None):
+        self.cfg = cfg
+        self.model = model
+        self.womd_rr = WOMDMetrics(
+            "reactive_replay", cfg.time_step_end, cfg.time_step_current,
+            cfg.interactive_challenge, use_native=use_native_metrics,
+        )
+        self.womd_jf = WOMDMetrics(
+            "joint_future_pred", cfg.time_step_end, cfg.time_step_current,
+            cfg.interactive_challenge, use_native=use_native_metrics,
+        )
+        self.sub_rr = sub_rr or SubWOMD(k_futures=1, activate=False)
+        self.sub_jf = sub_jf or SubWOMD(k_futures=cfg.n_joint_future, activate=False)
+        self._jitted = None
+        self.reset()
+
+    def reset(self):
+        self.sums: Dict[str, Dict[str, jnp.ndarray]] = {
+            k: {} for k in ("err_rr", "rule_rr", "train_rr", "err_jf", "rule_jf")
+        }
+        self.womd_rr.reset()
+        self.womd_jf.reset()
+
+    def step(self, params, batch_np: Dict[str, np.ndarray], key) -> None:
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
+        if self._jitted is None:
+            cfg, model = self.cfg, self.model
+
+            def fn(params, batch, key):
+                return validation_device_step(cfg, model, params, batch, key)
+
+            self._jitted = jax.jit(fn)
+        out = self._jitted(params, batch, key)
+
+        for k in self.sums:
+            self.sums[k] = M.add_metric_sums(self.sums[k], jax.tree.map(np.asarray, out[k]))
+
+        # host-side WOMD packing (tiny arrays)
+        mask_pred = batch_np.get("history/agent/role", batch_np["agent/role"])[..., 2]
+        object_id = batch_np.get(
+            "history/agent/object_id",
+            batch_np.get("agent/object_id", np.broadcast_to(
+                np.arange(batch_np["agent/valid"].shape[-1]), batch_np["agent/valid"].shape[::2]
+            )),
+        )
+        self.womd_rr.update(batch_np, np.asarray(out["pred_rr"]["waymo_trajs"]),
+                            np.asarray(out["pred_rr"]["waymo_scores"]))
+        self.womd_jf.update(batch_np, np.asarray(out["pred_jf"]["waymo_trajs"]),
+                            np.asarray(out["pred_jf"]["waymo_scores"]))
+
+        if self.sub_rr.activate or self.sub_jf.activate:
+            common = dict(
+                mask_pred=mask_pred,
+                object_id=object_id,
+                scenario_center=batch_np.get("scenario_center", np.zeros((mask_pred.shape[0], 2))),
+                scenario_yaw=batch_np.get("scenario_yaw", np.zeros(mask_pred.shape[0])),
+                scenario_id=batch_np.get(
+                    "scenario_id", [str(i) for i in batch_np.get("episode_idx", range(mask_pred.shape[0]))]
+                ),
+            )
+            self.sub_rr.add_to_submissions(
+                np.asarray(out["pred_rr"]["waymo_trajs"]), np.asarray(out["pred_rr"]["waymo_scores"]), **common
+            )
+            self.sub_jf.add_to_submissions(
+                np.asarray(out["pred_jf"]["waymo_trajs"]), np.asarray(out["pred_jf"]["waymo_scores"]), **common
+            )
+
+    def epoch_end(self) -> Dict[str, float]:
+        """Ref waymo_motion.py:755-794. val/loss = -mAP(joint_future_pred)."""
+        out: Dict[str, float] = {}
+        out.update(M.error_metrics_compute(self.sums["err_rr"], "reactive_replay/"))
+        out.update(M.rule_metrics_compute(self.sums["rule_rr"], "reactive_replay/"))
+        out.update(M.error_metrics_compute(self.sums["err_jf"], "joint_future_pred/"))
+        out.update(M.rule_metrics_compute(self.sums["rule_jf"], "joint_future_pred/"))
+        tm = self.sums["train_rr"]
+        for name in ("vae_kl", "diffbar_reward", "goal_loss"):
+            if f"{name}_sum" in tm:
+                out[f"reactive_replay/{name}"] = float(tm[f"{name}_sum"]) / max(float(tm[f"{name}_count"]), 1.0)
+        out.update(self.womd_rr.compute())
+        out.update(self.womd_jf.compute())
+        out["val/loss"] = -out.get("joint_future_pred/mean_average_precision", 0.0)
+        return out
+
+
+def test_step_device(cfg: ExperimentConfig, model, params, batch, key):
+    """Test: no GT — history copied into agent keys, prior latent + predicted
+    goal, submissions only. Ref waymo_motion.py:902-949."""
+    b = dict(batch)
+    for k in ("valid", "vel", "acc", "yaw_rate", "pos", "yaw_bbox", "spd", "size", "type", "z"):
+        b[f"agent/{k}"] = b[f"history/agent/{k}"]
+    b["tl_stop/valid"] = b["history/tl_stop/valid"]
+    b["tl_stop/pos"] = b["history/tl_stop/pos"]
+    b["tl_stop/state"] = b["history/tl_stop/state"]
+    b["tl_stop/dir"] = b["history/tl_stop/dir"]
+
+    pb = pre_processing(b, cfg.model, n_step_hist=cfg.time_step_current + 1, training=False)
+    feats = O.encode_episode_features(model, params, pb, training=False, key=None)
+    input_dict = extract(pb, "input")
+
+    goal_valid = jnp.any(input_dict["agent_valid"], axis=1)
+    goal_pred = None
+    if cfg.model.goal_manager.goal_attr_mode != "dummy":
+        goal_pred = model.apply(
+            {"params": params}, method="pred_goal",
+            agent_type=pb["ref/agent_type"], map_type=pb["ref/map_type"],
+            agent_state=pb["ref/agent_state"], **feats["input"],
+        )
+    latent_prior = model.apply(
+        {"params": params}, method="latent", posterior=False, **feats["latent_prior"]
+    )
+    buf, goal_sample, goal_logp = O.joint_future_pred(
+        cfg, model, params, pb, feats["input"], latent_prior, goal_pred, goal_valid, key
+    )
+    fs = buf.step_future_start
+    pred = waymo_post_processing(
+        cfg.post_processing,
+        valid=jnp.any(buf.valid[:, :, 0], axis=-1),
+        scores=jnp.exp(buf.latent_log_probs[..., 0] + goal_logp),
+        trajs=buf.preds[:, :, :, fs:],
+        agent_type=pb["ref/agent_type"],
+    )
+    return pred

@@ -392,16 +392,25 @@ class StackedGRU(nn.Module):
             if h is None:
                 h = self.init_hidden(valid.shape)
             return self._step(x, valid, h, deterministic)
-        # sequence mode: scan over T
+        # sequence mode: scan over T (keeps compile time O(1) in T)
         B, T, A = valid.shape
         if h is None:
             h = self.init_hidden((B, A))
 
-        ys = []
-        for t in range(T):
-            y, h = self._step(x[:, t], valid[:, t], h, deterministic)
-            ys.append(y)
-        return jnp.stack(ys, axis=1), None
+        def body(mdl, h, xs):
+            x_t, v_t = xs
+            y, h = mdl._step(x_t, v_t, h, deterministic)
+            return h, y
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, ys = scan(self, h, (jnp.moveaxis(x, 1, 0), jnp.moveaxis(valid, 1, 0)))
+        return jnp.moveaxis(ys, 0, 1), None
 
 
 class MultiAgentTF(nn.Module):

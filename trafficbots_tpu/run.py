@@ -1,0 +1,218 @@
+"""CLI entry: fit / validate / test, with dotted-path config overrides.
+
+Replaces the reference's Hydra composition root (run.py + configs/**):
+
+    python -m trafficbots_tpu.run action=fit data.data_dir=/data/h5_womd \
+        model.hidden_dim=128 ablation=simnet resume=runs/x/ckpt/last
+
+Overrides are `key=value` pairs navigating the frozen dataclass tree
+(dataclasses.replace under the hood), so every ablation switch of the
+reference's YAML tree is reachable from the CLI. `ablation=<name>` applies a
+preset from config.ablation (the docs/ablation_models.md recipes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def _coerce(val: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return val.lower() in ("1", "true", "yes")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(val)
+    if isinstance(current, float):
+        return float(val)
+    if current is None:
+        for cast in (int, float):
+            try:
+                return cast(val)
+            except ValueError:
+                pass
+        if val.lower() in ("none", "null"):
+            return None
+        return val
+    if isinstance(current, tuple):
+        if val in ("[]", "()"):
+            return ()
+        return tuple(float(x) for x in val.strip("[]()").split(",") if x)
+    return val
+
+
+def apply_override(cfg, dotted: str, val: str):
+    parts = dotted.split(".")
+    if len(parts) == 1:
+        current = getattr(cfg, parts[0])
+        return dataclasses.replace(cfg, **{parts[0]: _coerce(val, current)})
+    sub = getattr(cfg, parts[0])
+    new_sub = apply_override(sub, ".".join(parts[1:]), val)
+    return dataclasses.replace(cfg, **{parts[0]: new_sub})
+
+
+def parse_args(argv: List[str]):
+    from .config import ExperimentConfig, ablation
+
+    action = "fit"
+    run_dir = None
+    resume = None
+    synthetic = False
+    n_epochs = 1
+    steps_per_epoch = 100
+    val_batches = -1
+    cfg = ExperimentConfig()
+    overrides = []
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value, got {arg}")
+        k, v = arg.split("=", 1)
+        if k == "action":
+            action = v
+        elif k == "ablation":
+            cfg = ablation(v, cfg)
+        elif k == "run_dir":
+            run_dir = v
+        elif k == "resume":
+            resume = v
+        elif k == "synthetic":
+            synthetic = v.lower() in ("1", "true")
+        elif k == "n_epochs":
+            n_epochs = int(v)
+        elif k == "steps_per_epoch":
+            steps_per_epoch = int(v)
+        elif k == "val_batches":
+            val_batches = int(v)
+        else:
+            overrides.append((k, v))
+    for k, v in overrides:
+        cfg = apply_override(cfg, k, v)
+    if run_dir is None:
+        run_dir = os.path.join("runs", time.strftime("%Y%m%d_%H%M%S"))
+    return action, cfg, run_dir, resume, synthetic, n_epochs, steps_per_epoch, val_batches
+
+
+def synthetic_loader(cfg, n_batches: int, seed: int = 0):
+    from .data.synthetic import synthetic_episode_batch
+
+    def it():
+        for i in range(n_batches):
+            yield synthetic_episode_batch(
+                cfg.data, n_scene=cfg.data.batch_size, seed=seed + i, with_history=True
+            )
+
+    return it
+
+
+def main(argv: Optional[List[str]] = None):
+    import jax
+    import jax.numpy as jnp
+
+    action, cfg, run_dir, resume, synthetic, n_epochs, steps_per_epoch, val_batches = parse_args(
+        argv if argv is not None else sys.argv[1:]
+    )
+
+    from . import orchestration as O
+    from .evaluation_loop import Validator
+    from .parallel.mesh import make_mesh
+    from .training.checkpoint import CheckpointManager
+    from .training.train import make_jitted_dp_train_step, make_optimizer
+    from .utils.logging import MetricsLogger, Profiler
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = jax.random.PRNGKey(cfg.seed)
+    logger = MetricsLogger(run_dir)
+    prof = Profiler()
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+
+    # data
+    if synthetic:
+        train_iter_fn = synthetic_loader(cfg, steps_per_epoch)
+        val_iter_fn = synthetic_loader(cfg, max(val_batches, 1), seed=10_000)
+    else:
+        from .data.h5_loader import make_loaders
+
+        train_loader, val_loader, test_loader = make_loaders(cfg.data, cfg.seed)
+        train_iter_fn = lambda: iter(train_loader)
+        val_iter_fn = lambda: iter(val_loader)
+
+    # init params from one batch
+    init_batch = next(iter(train_iter_fn() if callable(train_iter_fn) else train_iter_fn))
+    init_batch_j = {k: jnp.asarray(v) for k, v in init_batch.items() if not isinstance(v, list)}
+    key, k_init = jax.random.split(key)
+    model, params = O.init_params(cfg, k_init, init_batch_j)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model initialized: {n_params/1e6:.2f}M params, run_dir={run_dir}")
+
+    if action == "fit":
+        mesh = make_mesh()
+        tx = make_optimizer(cfg, params, steps_per_epoch)
+        opt_state = tx.init(params)
+        if resume and ckpt.exists("last"):
+            restored = ckpt.restore("last", {"params": params, "opt_state": opt_state})
+            params, opt_state = restored["params"], restored["opt_state"]
+            print("resumed from last checkpoint")
+        step_fn = make_jitted_dp_train_step(cfg, model, tx, mesh)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
+        validator = Validator(cfg, model)
+
+        global_step = 0
+        for epoch in range(n_epochs):
+            for batch_np in train_iter_fn():
+                batch = {
+                    k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("data")))
+                    for k, v in batch_np.items()
+                    if not isinstance(v, list)
+                }
+                key, k_step = jax.random.split(key)
+                with prof.phase("train_step"):
+                    params, opt_state, metrics = step_fn(params, opt_state, batch, k_step)
+                if global_step % 50 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.log(m, global_step)
+                    print(f"epoch {epoch} step {global_step} loss={m['loss']:.4f}")
+                global_step += 1
+
+            # validation
+            validator.reset()
+            for i, batch_np in enumerate(val_iter_fn()):
+                if 0 <= val_batches <= i:
+                    break
+                key, k_val = jax.random.split(key)
+                with prof.phase("val_step"):
+                    validator.step(params, batch_np, k_val)
+            val_metrics = validator.epoch_end()
+            logger.log(val_metrics, global_step, phase="val")
+            state = {"params": params, "opt_state": opt_state}
+            ckpt.save_last(state, global_step, val_metrics)
+            ckpt.save_if_best(state, global_step, val_metrics)
+            print(f"epoch {epoch} val/loss={val_metrics['val/loss']:.4f}")
+        logger.log(prof.summary(), global_step, phase="profile")
+
+    elif action == "validate":
+        if resume and ckpt.exists("best"):
+            params = ckpt.restore("best", {"params": params})["params"]
+        validator = Validator(cfg, model)
+        for i, batch_np in enumerate(val_iter_fn()):
+            if 0 <= val_batches <= i:
+                break
+            key, k_val = jax.random.split(key)
+            validator.step(params, batch_np, k_val)
+        val_metrics = validator.epoch_end()
+        logger.log(val_metrics, 0, phase="val")
+        for k, v in sorted(val_metrics.items()):
+            if "/" in k and "waymo_metrics" not in k:
+                print(f"{k}: {v:.4f}")
+
+    elif action == "test":
+        raise SystemExit("test action requires packed testing.h5; see evaluation_loop.test_step_device")
+    else:
+        raise SystemExit(f"unknown action {action}")
+
+
+if __name__ == "__main__":
+    main()
