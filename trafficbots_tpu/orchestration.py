@@ -44,13 +44,22 @@ def make_dyn_params(cfg: ExperimentConfig):
 
 
 def init_params(cfg: ExperimentConfig, key: jax.Array, batch: Batch, training: bool = True):
-    """Initialize all model parameters from a (synthetic) batch."""
+    """Initialize all model parameters from a (synthetic) batch.
+
+    Jitted end-to-end: on TPU-over-tunnel setups, eager init would pay
+    dispatch latency per op; one compiled program avoids that.
+    """
     model = make_model(cfg)
-    k_pre, k_init, k_do = jax.random.split(key, 3)
-    pbatch = pre_processing(
-        batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=training, key=k_pre
-    )
-    variables = model.init({"params": k_init, "dropout": k_do}, pbatch, method="init_all")
+
+    @jax.jit
+    def _init(key, batch):
+        k_pre, k_init, k_do = jax.random.split(key, 3)
+        pbatch = pre_processing(
+            batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=training, key=k_pre
+        )
+        return model.init({"params": k_init, "dropout": k_do}, pbatch, method="init_all")
+
+    variables = _init(key, batch)
     return model, variables["params"]
 
 
