@@ -1,11 +1,17 @@
-"""End-to-end rollout integration tests on a tiny synthetic scene."""
+"""End-to-end rollout integration tests on a tiny synthetic scene.
+
+Compile-budget note: each distinct traced program (replay forward, training
+value_and_grad, joint future pred) is compiled exactly once per module; all
+tests share the jitted functions through module-scope fixtures so the suite
+stays fast on the CPU test mesh.
+"""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
 from trafficbots_tpu import orchestration as O
-from trafficbots_tpu.data.preprocessing import pre_processing, extract
+from trafficbots_tpu.data.preprocessing import pre_processing
 from trafficbots_tpu.sim.teacher_forcing import teacher_forcing_mask
 from tiny import tiny_batch, tiny_config
 
@@ -19,29 +25,43 @@ def setup():
     return cfg, model, params, batch
 
 
-def _run_replay(cfg, model, params, batch, key=0, deterministic_action=True):
-    pbatch = pre_processing(batch, cfg.model, training=True)
-    feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
-    goal_gt, goal_valid = O.get_gt_goal(
-        cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
-    )
-    latent_post = model.apply(
-        {"params": params}, method="latent", posterior=True, **feats["latent_post"]
-    )
-    mask_tf = teacher_forcing_mask(
-        O.tf_cfg_to_sim(cfg.tf_reactive_replay), pbatch["gt/valid"]
-    )
-    buf = O.reactive_replay(
-        cfg, model, params, pbatch, feats["input"], latent_post,
-        goal_gt, goal_valid, mask_tf, jax.random.PRNGKey(key),
-        deterministic_latent=True, deterministic_action=deterministic_action,
-    )
-    return pbatch, buf
-
-
-def test_rollout_shapes_and_finite(setup):
+@pytest.fixture(scope="module")
+def replay_fn(setup):
+    """One jitted reactive-replay program shared by every test below."""
     cfg, model, params, batch = setup
-    pbatch, buf = _run_replay(cfg, model, params, batch)
+
+    @jax.jit
+    def run(params, batch, key):
+        pbatch = pre_processing(batch, cfg.model, training=True)
+        feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
+        goal_gt, goal_valid = O.get_gt_goal(
+            cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
+        )
+        latent_post = model.apply(
+            {"params": params}, method="latent", posterior=True, **feats["latent_post"]
+        )
+        mask_tf = teacher_forcing_mask(
+            O.tf_cfg_to_sim(cfg.tf_reactive_replay), pbatch["gt/valid"]
+        )
+        buf = O.reactive_replay(
+            cfg, model, params, pbatch, feats["input"], latent_post,
+            goal_gt, goal_valid, mask_tf, key,
+            deterministic_latent=True, deterministic_action=True,
+        )
+        return pbatch, buf
+
+    return run
+
+
+@pytest.fixture(scope="module")
+def replay(setup, replay_fn):
+    cfg, model, params, batch = setup
+    return replay_fn(params, batch, jax.random.PRNGKey(0))
+
+
+def test_rollout_shapes_and_finite(setup, replay):
+    cfg, model, params, batch = setup
+    pbatch, buf = replay
     B, A = 2, cfg.data.n_agent
     S = cfg.time_step_end - cfg.time_step_sim_start + 1
     assert buf.valid.shape == (B, A, S)
@@ -54,20 +74,21 @@ def test_rollout_shapes_and_finite(setup):
     assert buf.step_future_start == cfg.time_step_current + 1 - cfg.time_step_sim_start
     # some agents must be valid at some steps
     assert np.asarray(buf.valid).any()
+    assert buf.valid.dtype == np.bool_
 
 
-def test_rollout_deterministic(setup):
+def test_rollout_deterministic(setup, replay_fn, replay):
     cfg, model, params, batch = setup
-    _, buf1 = _run_replay(cfg, model, params, batch, key=0)
-    _, buf2 = _run_replay(cfg, model, params, batch, key=0)
+    _, buf1 = replay
+    _, buf2 = replay_fn(params, batch, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(buf1.preds), np.asarray(buf2.preds))
 
 
-def test_reactive_replay_overrides_match_gt(setup):
+def test_reactive_replay_overrides_match_gt(setup, replay):
     """With reactive-replay TF config (spawn<=90), every GT-valid rising edge
     and warm-start step must be overridden."""
     cfg, model, params, batch = setup
-    pbatch, buf = _run_replay(cfg, model, params, batch)
+    pbatch, buf = replay
     gt_valid = np.asarray(pbatch["gt/valid"])  # [B, T, A]
     om = np.asarray(buf.override_masks)  # [B, A, S], steps 1..end
     # warm start steps 1..10 forced wherever GT valid
@@ -75,72 +96,51 @@ def test_reactive_replay_overrides_match_gt(setup):
         np.testing.assert_array_equal(om[:, :, s - 1], gt_valid[:, s])
 
 
-def test_killed_stays_dead(setup):
-    """Once valid goes False via kill (not spawn), it must not resurrect
-    without an override."""
+def test_training_value_and_grad(setup):
+    """One compile covers: training loss finiteness, metric accumulation, and
+    gradient flow through the 90-step BPTT scan."""
     cfg, model, params, batch = setup
-    pbatch, buf = _run_replay(cfg, model, params, batch)
-    # after step_future_start (no more spawns in tiny config beyond warm start
-    # except reactive replay spawns up to 90) validity changes only via
-    # overrides or kill; just sanity check valid is bool and finite sim ran
-    assert buf.valid.dtype == np.bool_
 
+    @jax.jit
+    def loss_fn(params, batch, key):
+        loss, metrics = O.training_step(cfg, model, params, batch, key)
+        return loss, metrics
 
-def test_gradient_flows_through_rollout(setup):
-    cfg, model, params, batch = setup
-    pbatch = pre_processing(batch, cfg.model, training=True)
-
-    def loss_fn(params):
-        feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
-        goal_gt, goal_valid = O.get_gt_goal(
-            cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
-        )
-        latent_post = model.apply(
-            {"params": params}, method="latent", posterior=True, **feats["latent_post"]
-        )
-        mask_tf = teacher_forcing_mask(
-            O.tf_cfg_to_sim(cfg.tf_training), pbatch["gt/valid"]
-        )
-        buf = O.reactive_replay(
-            cfg, model, params, pbatch, feats["input"], latent_post,
-            goal_gt, goal_valid, mask_tf, jax.random.PRNGKey(0),
-            deterministic_latent=False, deterministic_action=True,
-        )
-        return -jnp.sum(jnp.where(buf.diffbar_rewards_valid, buf.diffbar_rewards, 0.0))
-
-    g = jax.grad(loss_fn)(params)
+    (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    assert "diffbar_reward_sum" in metrics and "vae_kl_sum" in metrics
+    assert float(metrics["diffbar_reward_count"]) > 0
     leaves = jax.tree.leaves(g)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert np.isfinite(total) and total > 0
 
 
-def test_training_step_loss(setup):
-    cfg, model, params, batch = setup
-    loss, metrics = O.training_step(cfg, model, params, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(loss))
-    assert "diffbar_reward_sum" in metrics and "vae_kl_sum" in metrics
-    assert float(metrics["diffbar_reward_count"]) > 0
-
-
 def test_joint_future_pred(setup):
     cfg, model, params, batch = setup
-    pbatch = pre_processing(batch, cfg.model, training=True)
-    feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
-    goal_gt, goal_valid = O.get_gt_goal(
-        cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
-    )
-    goal_pred = model.apply(
-        {"params": params}, method="pred_goal",
-        agent_type=pbatch["ref/agent_type"], map_type=pbatch["ref/map_type"],
-        agent_state=pbatch["ref/agent_state"], **feats["input"],
-    )
-    latent_prior = model.apply(
-        {"params": params}, method="latent", posterior=False, **feats["latent_prior"]
-    )
-    buf, goal_sample, goal_logp = O.joint_future_pred(
-        cfg, model, params, pbatch, feats["input"], latent_prior,
-        goal_pred, goal_valid, jax.random.PRNGKey(2),
-    )
+
+    @jax.jit
+    def run(params, batch, key):
+        pbatch = pre_processing(batch, cfg.model, training=True)
+        feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
+        goal_gt, goal_valid = O.get_gt_goal(
+            cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
+        )
+        goal_pred = model.apply(
+            {"params": params}, method="pred_goal",
+            agent_type=pbatch["ref/agent_type"], map_type=pbatch["ref/map_type"],
+            agent_state=pbatch["ref/agent_state"], **feats["input"],
+        )
+        latent_prior = model.apply(
+            {"params": params}, method="latent", posterior=False, **feats["latent_prior"]
+        )
+        return O.joint_future_pred(
+            cfg, model, params, pbatch, feats["input"], latent_prior,
+            goal_pred, goal_valid, key,
+        )
+
+    buf, goal_sample, goal_logp = run(params, batch, jax.random.PRNGKey(2))
     B, A, K = 2, cfg.data.n_agent, cfg.n_joint_future
     S = cfg.time_step_end - cfg.time_step_sim_start + 1
     assert buf.valid.shape == (B, A, K, S)

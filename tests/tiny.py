@@ -2,8 +2,12 @@
 from dataclasses import replace
 
 from trafficbots_tpu.config import (
+    AgentInteractionConfig,
+    AgentTemporalConfig,
     DataConfig,
     ExperimentConfig,
+    GoalManagerConfig,
+    GoalPredictorConfig,
     LatentEncoderConfig,
     ModelConfig,
     TransformerConfig,
@@ -23,6 +27,11 @@ def tiny_config(n_step: int = 31, time_step_end: int = 30, **kwargs) -> Experime
         n_layer_tf_as2pl=1,
         n_layer_tf_as2tl=1,
         latent_encoder=LatentEncoderConfig(latent_dim=8),
+        agent_temporal=AgentTemporalConfig(num_layers=1),
+        agent_interaction=AgentInteractionConfig(n_layer=1),
+        goal_manager=GoalManagerConfig(
+            goal_predictor=GoalPredictorConfig(n_layer_gru=1)
+        ),
     )
     base = ExperimentConfig(
         data=data, model=model, time_step_end=time_step_end, time_step_gt=time_step_end,
