@@ -5,6 +5,11 @@ Runs the full-scale flagship model (64 agents, 1024 polylines, hidden 128,
 posterior latent, deterministic) as one jitted program on the available
 chip, and reports agent-steps/sec = batch * n_agent * n_rollout_steps / t.
 
+Timing note: the result is reduced to a scalar checksum and pulled to the
+host every iteration — on the TPU-tunnel backend `block_until_ready()` does
+NOT actually block, so only a device-to-host read gives honest wall-clock.
+Median of n_iter runs is reported.
+
 vs_baseline compares against the reference's implied rollout throughput on
 its eval hardware (1x RTX 2080 Ti, README.md:36). The reference publishes no
 wall-clock numbers (BASELINE.md); the baseline constant below is an estimate
@@ -18,6 +23,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -35,8 +41,9 @@ def main():
     from trafficbots_tpu.data.synthetic import synthetic_episode_batch
     from trafficbots_tpu.sim.teacher_forcing import teacher_forcing_mask
 
-    n_scene = 8
-    cfg = ExperimentConfig()
+    n_scene = int(os.environ.get("BENCH_N_SCENE", "32"))
+    n_iter = int(os.environ.get("BENCH_N_ITER", "10"))
+    cfg = ExperimentConfig(precision=os.environ.get("BENCH_PRECISION", "fp32"))
     batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
@@ -58,23 +65,24 @@ def main():
             goal_gt, goal_valid, mask_tf, key,
             deterministic_latent=True, deterministic_action=True,
         )
-        return buf.preds
+        # scalar checksum: the only honest sync point over the device tunnel
+        return jnp.sum(buf.preds)
 
     fn = jax.jit(eval_rollout)
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile)
-    out = fn(params, batch, key)
-    out.block_until_ready()
+    # warmup (compile) + one steady-state warm call
+    float(fn(params, batch, key))
+    float(fn(params, batch, jax.random.fold_in(key, 999)))
 
-    n_iter = 10
-    t0 = time.perf_counter()
+    times = []
     for i in range(n_iter):
-        out = fn(params, batch, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    t1 = time.perf_counter()
+        t0 = time.perf_counter()
+        v = float(fn(params, batch, jax.random.fold_in(key, i)))  # D2H sync
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(v)
+    dt = sorted(times)[len(times) // 2]
 
-    dt = (t1 - t0) / n_iter
     n_steps = cfg.time_step_end - cfg.time_step_sim_start + 1
     agent_steps_per_sec = n_scene * cfg.data.n_agent * n_steps / dt
 

@@ -1,0 +1,93 @@
+"""Fused Pallas attention core vs the plain-XLA reference path.
+
+Runs in Pallas interpret mode on the CPU test mesh; on TPU the same kernel
+compiles to a single fused program per layer (see ops/fused_attention.py).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trafficbots_tpu.ops.fused_attention import (
+    _xla_reference,
+    fused_attention_core,
+)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+def _setup(B=3, S=8, T=16, D=16, seed=0, all_invalid_row=True):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = _rand(ks[0], (B, S, D))
+    k = _rand(ks[1], (B, T, D))
+    v = _rand(ks[2], (B, T, D))
+    invalid = jax.random.bernoulli(ks[3], 0.3, (B, S, T))
+    if all_invalid_row:
+        invalid = invalid.at[0, 2].set(True)  # NaN-guard row
+        invalid = invalid.at[1].set(True)  # whole scene invalid
+    return q, k, v, invalid
+
+
+def test_fused_matches_reference():
+    q, k, v, invalid = _setup()
+    out_f = fused_attention_core(q, k, v, invalid, 4)
+    out_r = _xla_reference(q, k, v, invalid, 4)
+    assert np.isfinite(np.asarray(out_f)).all()
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-5, atol=1e-5)
+    # the all-invalid rows must be exactly zero
+    np.testing.assert_allclose(np.asarray(out_f[0, 2]), 0.0)
+    np.testing.assert_allclose(np.asarray(out_f[1]), 0.0)
+
+
+def test_fused_no_mask():
+    q, k, v, _ = _setup()
+    zero = jnp.zeros(( q.shape[0], q.shape[1], k.shape[1]), bool)
+    out_f = fused_attention_core(q, k, v, zero, 2)
+    out_r = _xla_reference(q, k, v, zero, 2)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gradients_match_reference():
+    q, k, v, invalid = _setup()
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention_core(q, k, v, invalid, 4) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference(q, k, v, invalid, 4) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_attention_module_fused_flag_matches_unfused():
+    """The module-level integration: fused path (interpret mode forced via
+    monkeypatched backend check is TPU-only, so here we call the core
+    directly) must agree with the module's XLA path output."""
+    from trafficbots_tpu.models.modules import Attention
+
+    B, S, T, D = 2, 4, 6, 8
+    src = _rand(jax.random.PRNGKey(0), (B, S, D))
+    tgt = _rand(jax.random.PRNGKey(1), (B, T, D))
+    pad = jax.random.bernoulli(jax.random.PRNGKey(2), 0.4, (B, T))
+    attn = Attention(d_model=D, n_head=2, dropout_p=0.0)
+    params = attn.init(jax.random.PRNGKey(3), src, tgt, pad)
+    out_module, _ = attn.apply(params, src, tgt, pad)
+
+    # recompute with the fused core using the module's own projections
+    p = params["params"]
+    q = src @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
+    k = tgt @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
+    v = tgt @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+    invalid = jnp.broadcast_to(pad[:, None, :], (B, S, T))
+    core = fused_attention_core(q, k, v, invalid, 2)
+    out_fused = core @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+    no_valid = jnp.all(invalid, axis=-1)
+    out_fused = jnp.where(no_valid[..., None], 0.0, out_fused)
+    np.testing.assert_allclose(
+        np.asarray(out_module), np.asarray(out_fused), rtol=1e-5, atol=1e-5
+    )

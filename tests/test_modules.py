@@ -154,3 +154,21 @@ def test_transformer_densetnt_variant_no_ffn():
     flat = jax.tree_util.tree_leaves_with_path(params)
     names = "/".join(str(p) for p, _ in flat)
     assert "linear1" not in names  # no FFN params created
+
+
+def test_transformer_kv_cache_equivalence():
+    """precompute_tgt_kv + cached call must equal the direct tgt path —
+    validates the rollout's map K/V hoist (sim/rollout.py)."""
+    blk = TransformerBlock(d_model=16, n_head=2, n_layer=3, dropout_p=0.0)
+    src = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    src_pad = jnp.zeros((2, 4), dtype=bool)
+    tgt_pad = jnp.array([[False] * 6, [False, False, True, True, True, True]])
+    params = blk.init(jax.random.PRNGKey(2), src, src_pad, tgt, tgt_pad)
+    out_direct, _ = blk.apply(params, src, src_pad, tgt, tgt_pad)
+    kv = blk.apply(params, None, tgt=tgt, return_tgt_kv=True)
+    assert len(kv) == 3 and all(len(p) == 2 for p in kv)
+    out_cached, _ = blk.apply(params, src, src_pad, None, tgt_pad, tgt_kv=kv)
+    np.testing.assert_allclose(
+        np.asarray(out_direct), np.asarray(out_cached), rtol=1e-6, atol=1e-6
+    )

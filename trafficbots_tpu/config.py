@@ -309,6 +309,16 @@ class ModelConfig:
     perturb_max_meter: float = 50.0
     perturb_max_rad: float = 3.14
 
+    def __post_init__(self):
+        # The reference interpolates d_model from hidden_dim
+        # (configs/model/traffic_bots.yaml:42 `d_model: ${..hidden_dim}`);
+        # keep the same invariant so a CLI `model.hidden_dim=...` override
+        # cannot silently desynchronize the transformer width.
+        if self.tf_cfg.d_model != self.hidden_dim:
+            object.__setattr__(
+                self, "tf_cfg", dataclasses.replace(self.tf_cfg, d_model=self.hidden_dim)
+            )
+
 
 @dataclass(frozen=True)
 class ExperimentConfig:
@@ -344,6 +354,9 @@ class ExperimentConfig:
 
     seed: int = 2023
     precision: str = "fp32"  # fp32 | bf16 (encoder compute dtype; physics stays fp32)
+    # rematerialize the rollout scan body in the training backward pass
+    # (memory O(1 step) instead of O(90 steps); SURVEY.md hard part #2)
+    remat_rollout_step: bool = True
 
 
 # ---------------------------------------------------------------------------

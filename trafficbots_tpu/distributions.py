@@ -66,6 +66,45 @@ class DiagGaussian:
         )
 
 
+@struct.dataclass
+class Gaussian:
+    """Full-covariance multivariate Normal (cholesky parametrization).
+
+    Parity item for ref distributions.py:62-81 (MultivariateNormal wrapper);
+    not used by any default config but part of the distribution inventory.
+    `tril` is the lower-triangular cholesky factor of the covariance.
+    """
+
+    mean: jnp.ndarray  # [..., d]
+    tril: jnp.ndarray  # [..., d, d]
+    valid: Optional[jnp.ndarray] = None
+
+    def sample(self, key: jax.Array, deterministic: DetType = True) -> jnp.ndarray:
+        det = self.mean
+        eps = jax.random.normal(key, self.mean.shape, dtype=self.mean.dtype)
+        rnd = self.mean + jnp.einsum("...ij,...j->...i", self.tril, eps)
+        return _mix_det(det, rnd, deterministic)
+
+    def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.mean.shape[-1]
+        diff = x - self.mean
+        # solve L z = diff  (forward substitution via triangular solve)
+        z = jax.scipy.linalg.solve_triangular(
+            self.tril, diff[..., None], lower=True
+        )[..., 0]
+        log_det = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(self.tril, axis1=-2, axis2=-1))), axis=-1
+        )
+        return -0.5 * jnp.sum(z * z, axis=-1) - log_det - 0.5 * d * _LOG_2PI
+
+    def repeat(self, n: int, axis: int = 0) -> "Gaussian":
+        return Gaussian(
+            mean=jnp.repeat(self.mean, n, axis=axis),
+            tril=jnp.repeat(self.tril, n, axis=axis),
+            valid=None if self.valid is None else jnp.repeat(self.valid, n, axis=axis),
+        )
+
+
 def kl_diag_gaussian(p: DiagGaussian, q: DiagGaussian) -> jnp.ndarray:
     """KL(p || q) summed over the event dim (Independent(Normal, 1))."""
     p_std = p.stddev

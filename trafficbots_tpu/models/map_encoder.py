@@ -58,6 +58,7 @@ class MapEncoder(nn.Module):
             mlp_dropout_p=self.pe_cfg.mlp_dropout_p,
             mlp_use_layernorm=self.pe_cfg.mlp_use_layernorm,
             pe_mode=self.pe_cfg.pe_mode,
+            compute_dtype=self.compute_dtype,
             name="input_pe",
         )(map_valid, map_attr, map_pe, deterministic=deterministic)
 

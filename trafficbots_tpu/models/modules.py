@@ -55,6 +55,7 @@ class MLP(nn.Module):
     use_layernorm: bool = False
     activation: str = "relu"
     end_layer_activation: bool = True
+    compute_dtype: Dtype = jnp.float32  # params stay fp32 (flax dtype semantics)
 
     @nn.compact
     def __call__(
@@ -66,8 +67,9 @@ class MLP(nn.Module):
     ) -> jnp.ndarray:
         act = _activation(self.activation)
         n = len(self.fc_dims)
+        in_dtype = x.dtype
         for i, dim in enumerate(self.fc_dims):
-            x = nn.Dense(dim, name=f"fc{i}")(x)
+            x = nn.Dense(dim, name=f"fc{i}", dtype=self.compute_dtype)(x)
             is_last = i == n - 1
             if not is_last or self.end_layer_activation:
                 if self.use_layernorm:
@@ -77,10 +79,10 @@ class MLP(nn.Module):
             if not is_last:
                 x = act(x)
         if valid is not None:
-            x = jnp.where(valid[..., None], x, fill_invalid)
+            x = jnp.where(valid[..., None], x, jnp.asarray(fill_invalid, x.dtype))
         if self.end_layer_activation:
             x = act(x)
-        return x
+        return x.astype(in_dtype)
 
 
 class Attention(nn.Module):
@@ -97,6 +99,7 @@ class Attention(nn.Module):
     dropout_p: float = 0.0
     bias: bool = True
     compute_dtype: Dtype = jnp.float32
+    fused: bool = True  # use the Pallas fused core when eligible (TPU only)
 
     @nn.compact
     def __call__(
@@ -107,21 +110,32 @@ class Attention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,  # [B, S, T] True = disabled
         need_weights: bool = False,
         deterministic: bool = True,
+        tgt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # cached (k, v)
+        return_kv: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """`tgt_kv` short-circuits the K/V projections with precomputed values
+        — the rollout hot-loop optimization for step-invariant targets (the
+        map tokens): K/V of 1024 polylines are projected once per episode
+        instead of once per step per layer. `return_kv=True` runs only the
+        K/V projections and returns (k, v) [B, T, d_model] for that cache.
+        """
         d_head = self.d_model // self.n_head
         assert d_head * self.n_head == self.d_model
 
         dense = lambda name: nn.Dense(self.d_model, use_bias=self.bias, name=name, dtype=self.compute_dtype)
+        if return_kv:
+            kv_in = src if tgt is None else tgt
+            return dense("k_proj")(kv_in), dense("v_proj")(kv_in)
         q = dense("q_proj")(src)
-        kv_in = src if tgt is None else tgt
-        k = dense("k_proj")(kv_in)
-        v = dense("v_proj")(kv_in)
+        if tgt_kv is not None:
+            k, v = tgt_kv
+        else:
+            kv_in = src if tgt is None else tgt
+            k = dense("k_proj")(kv_in)
+            v = dense("v_proj")(kv_in)
 
         B, S = src.shape[:2]
-        T = kv_in.shape[1]
-        q = q.reshape(B, S, self.n_head, d_head)
-        k = k.reshape(B, T, self.n_head, d_head)
-        v = v.reshape(B, T, self.n_head, d_head)
+        T = k.shape[1]
 
         invalid = None  # [B, S, T]
         if tgt_padding_mask is not None:
@@ -129,19 +143,44 @@ class Attention(nn.Module):
         if attn_mask is not None:
             am = jnp.broadcast_to(attn_mask, (B, S, T))
             invalid = am if invalid is None else (invalid | am)
+        no_valid_tgt = None if invalid is None else jnp.all(invalid, axis=-1)  # [B, S]
 
-        logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32)
-        no_valid_tgt = None
-        if invalid is not None:
-            no_valid_tgt = jnp.all(invalid, axis=-1)  # [B, S]
-            use_mask = invalid & (~no_valid_tgt[..., None])
-            logits = jnp.where(use_mask[:, None], -jnp.inf, logits)
+        # Fused Pallas path: one kernel for mask+softmax+matmuls, keeping the
+        # [S, T] scores in VMEM (the rollout hot loop is bound by kernel count
+        # and logits HBM traffic). Inactive when attention-weight dropout is
+        # live or the (viz-only) weights are requested.
+        use_fused = (
+            self.fused
+            and not need_weights
+            and (deterministic or self.dropout_p <= 0)
+            and jax.default_backend() == "tpu"
+            # only worthwhile at hot-loop sizes (agents x map/tl/agents);
+            # small episode-level attentions (e.g. 20x20 polyline nodes) stay
+            # on the XLA path
+            and S >= 32
+            and T >= 64
+        )
+        if use_fused:
+            from ..ops.fused_attention import fused_attention_core
 
-        attn = jax.nn.softmax(logits / np.sqrt(d_head), axis=-1)
-        if self.dropout_p > 0:
-            attn = nn.Dropout(self.dropout_p, name="attn_do")(attn, deterministic=deterministic)
+            inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)
+            out = fused_attention_core(q, k, v, inv, self.n_head)
+            attn = None
+        else:
+            q = q.reshape(B, S, self.n_head, d_head)
+            kh = k.reshape(B, T, self.n_head, d_head)
+            vh = v.reshape(B, T, self.n_head, d_head)
 
-        out = jnp.einsum("bhst,bthd->bshd", attn.astype(v.dtype), v).reshape(B, S, self.d_model)
+            logits = jnp.einsum("bshd,bthd->bhst", q, kh).astype(jnp.float32)
+            if invalid is not None:
+                use_mask = invalid & (~no_valid_tgt[..., None])
+                logits = jnp.where(use_mask[:, None], -jnp.inf, logits)
+
+            attn = jax.nn.softmax(logits / np.sqrt(d_head), axis=-1)
+            if self.dropout_p > 0:
+                attn = nn.Dropout(self.dropout_p, name="attn_do")(attn, deterministic=deterministic)
+            out = jnp.einsum("bhst,bthd->bshd", attn.astype(vh.dtype), vh).reshape(B, S, self.d_model)
+
         out = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj", dtype=self.compute_dtype)(out)
         out = out.astype(src.dtype)
 
@@ -178,6 +217,8 @@ class TransformerCrossAttention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         need_weights: bool = False,
         deterministic: bool = True,
+        tgt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        return_tgt_kv: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         act = _activation(self.activation)
         attn = Attention(
@@ -186,7 +227,13 @@ class TransformerCrossAttention(nn.Module):
         )
         dropout = lambda name: nn.Dropout(self.dropout_p, name=name) if self.dropout_p > 0 else None
 
-        if tgt is None:
+        if return_tgt_kv:
+            # precompute-only pass: norm + K/V projections of the (step-
+            # invariant) target, nothing else
+            tgt_n = nn.LayerNorm(name="norm_tgt")(tgt) if self.norm_first else tgt
+            return attn(tgt_n, tgt=None, return_kv=True)
+
+        if tgt is None and tgt_kv is None:
             tgt_padding_mask = src_padding_mask
 
         if self.norm_first:
@@ -199,6 +246,7 @@ class TransformerCrossAttention(nn.Module):
         src2, attn_weights = attn(
             src2, tgt=tgt_n, tgt_padding_mask=tgt_padding_mask,
             attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
+            tgt_kv=tgt_kv,
         )
 
         if self.d_feedforward > 0:
@@ -209,11 +257,11 @@ class TransformerCrossAttention(nn.Module):
             else:
                 src = nn.LayerNorm(name="norm1_post")(src)
                 src2 = src
-            src2 = act(nn.Dense(self.d_feedforward, name="linear1")(src2))
+            src2 = act(nn.Dense(self.d_feedforward, name="linear1", dtype=self.compute_dtype)(src2))
             do_ff = dropout("do_ff")
             if do_ff:
                 src2 = do_ff(src2, deterministic=deterministic)
-            src2 = nn.Dense(self.d_model, name="linear2")(src2)
+            src2 = nn.Dense(self.d_model, name="linear2", dtype=self.compute_dtype)(src2).astype(src.dtype)
             do2 = dropout("do2")
             src = src + (do2(src2, deterministic=deterministic) if do2 else src2)
             if not self.norm_first:
@@ -257,17 +305,28 @@ class TransformerBlock(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         need_weights: bool = False,
         deterministic: bool = True,
+        tgt_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,  # per layer
+        return_tgt_kv: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        attn_weights = None
-        for i in range(self.n_layer):
-            src, attn_weights = TransformerCrossAttention(
+        layers = [
+            TransformerCrossAttention(
                 d_model=self.d_model, n_head=self.n_head, d_feedforward=self.d_feedforward,
                 dropout_p=self.dropout_p, activation=self.activation, norm_first=self.norm_first,
                 bias=self.bias, compute_dtype=self.compute_dtype, name=f"layer{i}",
-            )(
+            )
+            for i in range(self.n_layer)
+        ]
+        if return_tgt_kv:
+            # the block feeds the SAME tgt to every layer, so each layer's
+            # K/V cache comes from the same input through its own projections
+            return tuple(l(None, tgt=tgt, return_tgt_kv=True) for l in layers)
+        attn_weights = None
+        for i, layer in enumerate(layers):
+            src, attn_weights = layer(
                 src, src_padding_mask=src_padding_mask, tgt=tgt,
                 tgt_padding_mask=tgt_padding_mask, attn_mask=attn_mask,
                 need_weights=need_weights, deterministic=deterministic,
+                tgt_kv=None if tgt_kv is None else tgt_kv[i],
             )
         if self.out_layernorm:
             src = nn.LayerNorm(name="out_ln")(src)
@@ -283,6 +342,7 @@ class InputPeEncoder(nn.Module):
     mlp_dropout_p: Optional[float] = 0.1
     mlp_use_layernorm: bool = False
     pe_mode: str = "cat"  # input, cat, add
+    compute_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -307,6 +367,7 @@ class InputPeEncoder(nn.Module):
             dropout_p=self.mlp_dropout_p,
             use_layernorm=self.mlp_use_layernorm,
             end_layer_activation=False,
+            compute_dtype=self.compute_dtype,
             name="mlp",
         )(x_in, deterministic=deterministic)
 

@@ -59,11 +59,13 @@ class TrafficBots(nn.Module):
             hidden_dim=hidden, pe_dim=pose_pe_out_dim(cfg.pose_pe_tl, cfg.pe_dim),
             n_layer=ipe.n_layer, mlp_dropout_p=ipe.mlp_dropout_p,
             mlp_use_layernorm=ipe.mlp_use_layernorm, pe_mode=ipe.pe_mode,
+            compute_dtype=self.compute_dtype,
         )
         self.agent_encoder = InputPeEncoder(
             hidden_dim=hidden, pe_dim=pose_pe_out_dim(cfg.pose_pe_agent, cfg.pe_dim),
             n_layer=ipe.n_layer, mlp_dropout_p=ipe.mlp_dropout_p,
             mlp_use_layernorm=ipe.mlp_use_layernorm, pe_mode=ipe.pe_mode,
+            compute_dtype=self.compute_dtype,
         )
         self.transformer_as2pl = TransformerBlock(
             n_layer=cfg.n_layer_tf_as2pl, compute_dtype=self.compute_dtype, **kw
@@ -149,11 +151,21 @@ class TrafficBots(nn.Module):
         map_pos: Optional[jnp.ndarray] = None,
         tl_pos: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        map_feature: Optional[jnp.ndarray] = None,
+        map_feature_valid: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Ref traffic_bots.py:109-151."""
-        map_feature, map_feature_valid = self.map_encoder(
-            map_valid, map_attr, map_pe, deterministic=deterministic
-        )
+        """Ref traffic_bots.py:109-151.
+
+        `map_feature`/`map_feature_valid` short-circuit the map encoder with a
+        precomputed encoding: the three episode views (input / latent_post /
+        latent_prior) share an identical map whenever the SE(2) perturbation
+        of the latent input is disabled (the default), and the map encoder is
+        the single heaviest encoder — encode once, reuse thrice.
+        """
+        if map_feature is None:
+            map_feature, map_feature_valid = self.map_encoder(
+                map_valid, map_attr, map_pe, deterministic=deterministic
+            )
         return {
             "agent_feature": self.agent_encoder(agent_valid, agent_attr, agent_pe, deterministic=deterministic),
             "agent_feature_valid": agent_valid,
@@ -167,11 +179,23 @@ class TrafficBots(nn.Module):
         """Per-rollout-step agent encoding (ref waymo_motion.py:155)."""
         return self.agent_encoder(valid, attr, pe, deterministic=deterministic)
 
+    def map_only(self, map_valid, map_attr, map_pe, deterministic: bool = True):
+        """Map encoding alone (profiling / staged-encoding helper)."""
+        return self.map_encoder(map_valid, map_attr, map_pe, deterministic=deterministic)
+
     def latent(self, posterior: bool = False, deterministic: bool = True, **features):
         return self.latent_encoder(posterior=posterior, deterministic=deterministic, **features)
 
     def pred_goal(self, deterministic: bool = True, **kwargs):
         return self.goal_manager.pred_goal(deterministic=deterministic, **kwargs)
+
+    def precompute_map_kv(self, map_feature: jnp.ndarray):
+        """Per-layer K/V projections of the (step-invariant) map tokens for
+        the as2pl cross-attention — computed once per episode instead of once
+        per rollout step per layer (the dominant per-step matmul: 1024 tokens
+        vs 64 agents). Returns a tuple of (k, v) per layer.
+        """
+        return self.transformer_as2pl(None, tgt=map_feature, return_tgt_kv=True)
 
     def policy_step(
         self,
@@ -188,6 +212,7 @@ class TrafficBots(nn.Module):
         agent_type: jnp.ndarray,  # [B, A, 3]
         need_weights: bool = False,
         deterministic: bool = True,
+        map_kv=None,  # per-layer (k, v) from precompute_map_kv
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
         """One policy step. Ref traffic_bots.py:163-247 + action head.
 
@@ -197,9 +222,10 @@ class TrafficBots(nn.Module):
         x = agent_feature
 
         x, attn_pl = self.transformer_as2pl(
-            x, src_padding_mask=~agent_valid, tgt=map_feature,
+            x, src_padding_mask=~agent_valid,
+            tgt=None if map_kv is not None else map_feature,
             tgt_padding_mask=~map_valid, need_weights=need_weights,
-            deterministic=deterministic,
+            deterministic=deterministic, tgt_kv=map_kv,
         )
         x, attn_tl = self.transformer_as2tl(
             x, src_padding_mask=~agent_valid, tgt=tl_feature,

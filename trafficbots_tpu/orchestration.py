@@ -82,22 +82,36 @@ def _apply_factory(model: TrafficBots, params):
 
 
 def encode_episode_features(
-    model: TrafficBots, params, batch: Batch, training: bool, key: Optional[jax.Array]
+    model: TrafficBots, params, batch: Batch, training: bool, key: Optional[jax.Array],
+    share_map_encoding: Optional[bool] = None,
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Run the three encoder views (input / latent_post / latent_prior).
 
     Ref waymo_motion.py:366-368; latent_post only exists when GT is available.
+
+    The reference re-encodes the map for every view; here the map encoding is
+    computed once and shared across views whenever they see the same map —
+    i.e. unless the latent views are SE(2)-perturbed (perturb marker key in
+    the batch) or dropout is live (training), where per-view noise must stay
+    independent.
     """
     rngs = {"dropout": key} if (training and key is not None) else {}
+    if share_map_encoding is None:
+        share_map_encoding = not training and "latent_perturbed" not in batch
     out = {}
+    shared_map = None
     for prefix in ("input", "latent_post", "latent_prior"):
         if f"{prefix}/agent_valid" not in batch:
             continue
         view = extract(batch, prefix)
+        if share_map_encoding and shared_map is not None:
+            view["map_feature"], view["map_feature_valid"] = shared_map
         out[prefix] = model.apply(
             {"params": params}, method="encode_input_features",
             deterministic=not training, rngs=rngs, **view,
         )
+        if share_map_encoding and shared_map is None:
+            shared_map = (out[prefix]["map_feature"], out[prefix]["map_feature_valid"])
     return out
 
 
@@ -161,6 +175,7 @@ def reactive_replay(
     deterministic_latent,
     deterministic_action: bool,
     training: bool = False,
+    collect_attention: bool = False,
 ) -> RolloutOutput:
     """Scene reconstruction rollout. Ref waymo_motion.py:420-476."""
     rule_consts = make_rule_constants(
@@ -182,6 +197,7 @@ def reactive_replay(
         step_start=cfg.time_step_sim_start,
         step_end=cfg.time_step_end,
         training=training,
+        collect_attention=collect_attention,
     )
 
 

@@ -209,7 +209,51 @@ def main(argv: Optional[List[str]] = None):
                 print(f"{k}: {v:.4f}")
 
     elif action == "test":
-        raise SystemExit("test action requires packed testing.h5; see evaluation_loop.test_step_device")
+        # Test split: no GT — prior latent + predicted goal, submission files
+        # only. Ref waymo_motion.py:902-953 + submission.py.
+        from .evaluation_loop import test_step_device
+        from .eval.submission import SubWOMD
+
+        if resume and ckpt.exists("best"):
+            params = ckpt.restore("best", {"params": params})["params"]
+        if synthetic:
+            test_iter_fn = synthetic_loader(cfg, max(val_batches, 1), seed=20_000)
+        else:
+            test_iter_fn = lambda: iter(test_loader)
+
+        sub = SubWOMD(
+            k_futures=cfg.n_joint_future,
+            interactive_challenge=cfg.interactive_challenge,
+            activate=True,
+        )
+        jitted = jax.jit(
+            lambda params, batch, key: test_step_device(cfg, model, params, batch, key)
+        )
+        for i, batch_np in enumerate(test_iter_fn()):
+            if 0 <= val_batches <= i:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
+            key, k_test = jax.random.split(key)
+            with prof.phase("test_step"):
+                pred = jitted(params, batch, k_test)
+            mask_pred = np.asarray(batch_np["history/agent/role"])[..., 2]
+            n_scene, n_agent = mask_pred.shape
+            sub.add_to_submissions(
+                np.asarray(pred["waymo_trajs"]),
+                np.asarray(pred["waymo_scores"]),
+                mask_pred=mask_pred,
+                object_id=np.asarray(
+                    batch_np.get("history/agent/object_id", np.broadcast_to(np.arange(n_agent), (n_scene, n_agent)))
+                ),
+                scenario_center=np.asarray(batch_np.get("scenario_center", np.zeros((n_scene, 2)))),
+                scenario_yaw=np.asarray(batch_np.get("scenario_yaw", np.zeros(n_scene))),
+                scenario_id=batch_np.get(
+                    "scenario_id", [str(s) for s in batch_np.get("episode_idx", range(n_scene))]
+                ),
+            )
+        paths = sub.save_sub_files(os.path.join(run_dir, "submission"))
+        for p in paths:
+            print(f"submission written: {p}")
     else:
         raise SystemExit(f"unknown action {action}")
 

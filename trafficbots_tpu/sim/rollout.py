@@ -69,6 +69,7 @@ class StepOutput:
     diffbar_reward_valid: jnp.ndarray  # [B, A]
     latent_log_prob: jnp.ndarray  # [B, A]
     action_log_prob: jnp.ndarray  # [B, A]
+    attn: Optional[Dict[str, jnp.ndarray]] = None  # vis only (collect_attention)
 
 
 @struct.dataclass
@@ -84,6 +85,7 @@ class RolloutOutput:
     diffbar_rewards_valid: jnp.ndarray  # [B, A, S]
     latent_log_probs: jnp.ndarray  # [B, A, S]
     action_log_probs: jnp.ndarray  # [B, A, S]
+    attn: Optional[Dict[str, jnp.ndarray]] = None  # each [B, A, S, n_tgt]
     step_future_start: int = struct.field(pytree_node=False, default=10)
 
     def flatten_repeat(self, n_repeat: int) -> "RolloutOutput":
@@ -105,6 +107,7 @@ class RolloutOutput:
             diffbar_rewards_valid=_fr(self.diffbar_rewards_valid),
             latent_log_probs=_fr(self.latent_log_probs),
             action_log_probs=_fr(self.action_log_probs),
+            attn=None if self.attn is None else {k: _fr(v) for k, v in self.attn.items()},
             step_future_start=self.step_future_start,
         )
 
@@ -144,6 +147,7 @@ def rollout(
     step_end: int = 90,
     training: bool = False,
     gt_sdc: Optional[Dict[str, jnp.ndarray]] = None,
+    collect_attention: bool = False,
 ) -> RolloutOutput:
     """Run the closed-loop simulation. Ref waymo_motion.py:205-354.
 
@@ -220,6 +224,12 @@ def rollout(
         return gf
 
     goal_feature_static = None if update_goal else get_goal_feature(agent0.state)
+
+    # K/V cache for the as2pl cross-attention: the map tokens are identical at
+    # every rollout step, so their per-layer K/V projections are computed ONCE
+    # here instead of 90x inside the scan (the heaviest per-step matmuls:
+    # n_pl=1024 tokens vs n_agent=64 queries).
+    map_kv = model_apply(method="precompute_map_kv", map_feature=features["map_feature"])
 
     hidden0 = jnp.zeros((mcfg.agent_temporal.num_layers, B, A, mcfg.hidden_dim))
     carry0 = RolloutCarry(
@@ -325,12 +335,13 @@ def rollout(
             method="encode_agent", valid=agent.valid, attr=attr, pe=pe,
             deterministic=not training, rngs=rngs,
         )
-        action_mean, action_log_std, hidden, _, _ = model_apply(
+        action_mean, action_log_std, hidden, _, attn = model_apply(
             method="policy_step",
             agent_valid=agent.valid,
             agent_feature=agent_feature,
             map_valid=features["map_valid"],
             map_feature=features["map_feature"],
+            map_kv=map_kv,
             tl_valid=tl_valid_t,
             tl_feature=tl_feature_t,
             goal_valid=carry.goal_valid,
@@ -338,6 +349,7 @@ def rollout(
             latent_sample=latent_sample,
             hidden=carry.hidden,
             agent_type=features["agent_type"],
+            need_weights=collect_attention,
             deterministic=not training,
             rngs=rngs,
         )
@@ -395,6 +407,7 @@ def rollout(
             diffbar_reward_valid=reward_valid,
             latent_log_prob=latent_logp if latent_logp is not None else jnp.zeros_like(action_logp),
             action_log_prob=action_logp,
+            attn={k: v for k, v in attn.items() if v is not None} if collect_attention else None,
         )
         new_carry = RolloutCarry(
             agent=new_agent, rules=new_rules, hidden=hidden,
@@ -403,6 +416,12 @@ def rollout(
         )
         return new_carry, out
 
+    if training and cfg.remat_rollout_step:
+        # Rematerialize the policy step in the backward pass: BPTT over 90
+        # steps keeps O(carry) memory instead of O(steps x activations)
+        # (SURVEY.md hard part #2), trading ~1 extra forward for the ability
+        # to scale batch per chip.
+        body = jax.checkpoint(body, prevent_cse=False)
     _, ys = jax.lax.scan(body, carry0, xs)
 
     def to_batch_major(x):
@@ -418,6 +437,7 @@ def rollout(
         diffbar_rewards_valid=to_batch_major(ys.diffbar_reward_valid),
         latent_log_probs=to_batch_major(ys.latent_log_prob),
         action_log_probs=to_batch_major(ys.action_log_prob),
+        attn=None if ys.attn is None else {k: to_batch_major(v) for k, v in ys.attn.items()},
         step_future_start=cfg.time_step_current + 1 - step_start,
     )
 

@@ -185,6 +185,49 @@ class VisScene:
                 )
         return self.save_video(path, frames)
 
+    def save_attention_video(
+        self,
+        path: str,
+        map_valid: np.ndarray,  # [P, N]
+        map_pos: np.ndarray,  # [P, N, 2]
+        agent_valid: np.ndarray,  # [T, A]
+        agent_pos: np.ndarray,  # [T, A, 2]
+        agent_yaw: np.ndarray,  # [T, A]
+        agent_size: np.ndarray,  # [A, 3]
+        attn_pl: np.ndarray,  # [A, T, P] agent->polyline attention
+        agent_idx: int = 0,
+        fps: int = 10,
+    ) -> str:
+        """Per-step agent->map attention heat overlay for one agent.
+
+        Capability port of ref vis_waymo.py:459-717 (save_attn_videos): each
+        frame draws the map polylines colored by the policy's as2pl attention
+        weight for `agent_idx` at that step, plus the agent's box.
+        """
+        frames = []
+        T = agent_valid.shape[0]
+        for t in range(T):
+            img = self.base.copy()
+            w = attn_pl[agent_idx, min(t, attn_pl.shape[1] - 1)]
+            wmax = w.max() + 1e-9
+            for p in range(map_valid.shape[0]):
+                if not map_valid[p].any() or w[p] <= 0:
+                    continue
+                heat = int(255 * w[p] / wmax)
+                if heat < 8:
+                    continue
+                pts = map_pos[p][map_valid[p]]
+                cv2.polylines(img, [self._px(pts)], False, (0, heat, 255), 2)
+            if agent_valid[t, agent_idx]:
+                self._draw_agent(
+                    img, agent_pos[t, agent_idx, 0], agent_pos[t, agent_idx, 1],
+                    float(agent_yaw[t, agent_idx]),
+                    float(agent_size[agent_idx, 0]), float(agent_size[agent_idx, 1]),
+                    SDC_COLOR,
+                )
+            frames.append(img)
+        return self.save_video(path, frames, fps=fps)
+
     def save_dest_prob_image(
         self, path: str, map_valid: np.ndarray, map_pos: np.ndarray, dest_probs: np.ndarray, agent_idx: int = 0
     ) -> str:
