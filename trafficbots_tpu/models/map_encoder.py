@@ -63,17 +63,48 @@ class MapEncoder(nn.Module):
         )(map_valid, map_attr, map_pe, deterministic=deterministic)
 
         if self.cfg.densetnt_vectornet:
+            import jax
+
             flat = pl_feature.reshape(n_scene * n_pl, n_node, self.hidden_dim)
             flat_valid = map_valid.reshape(n_scene * n_pl, n_node)
-            flat, _ = TransformerBlock(
-                n_layer=self.cfg.n_layer, compute_dtype=self.compute_dtype,
-                name="densetnt", **tf_kwargs,
-            )(
-                flat, src_padding_mask=~flat_valid, tgt=flat,
-                tgt_padding_mask=~flat_valid, deterministic=deterministic,
+            use_fused_stack = (
+                self.tf_cfg.norm_first and self.tf_cfg.d_feedforward > 0
             )
-            pl_feature = flat.reshape(n_scene, n_pl, n_node, self.hidden_dim)
+            if use_fused_stack:
+                from ..ops.node_encoder import FusedNodeEncoder
+
+                stack = FusedNodeEncoder(
+                    d_model=self.hidden_dim, n_head=self.tf_cfg.n_head,
+                    n_layer=self.cfg.n_layer, d_feedforward=self.tf_cfg.d_feedforward,
+                    dropout_p=self.tf_cfg.dropout_p, name="densetnt",
+                )
+                fused_pool_ok = (
+                    deterministic
+                    and self.cfg.pool_mode == "max"
+                    and jax.default_backend() == "tpu"
+                    and (n_scene * n_pl) % stack.block_pl == 0
+                )
+                if fused_pool_ok:
+                    # ONE Pallas kernel: all layers + masked max-pool, VMEM-
+                    # resident (the map encoder dominates the eval profile)
+                    pooled = stack.encode_pooled(flat, flat_valid)
+                    pooled_feature = pooled.reshape(n_scene, n_pl, self.hidden_dim)
+                else:
+                    pooled_feature = None
+                    flat = stack(flat, flat_valid, deterministic=deterministic)
+            else:
+                pooled_feature = None
+                flat, _ = TransformerBlock(
+                    n_layer=self.cfg.n_layer, compute_dtype=self.compute_dtype,
+                    name="densetnt", **tf_kwargs,
+                )(
+                    flat, src_padding_mask=~flat_valid, tgt=flat,
+                    tgt_padding_mask=~flat_valid, deterministic=deterministic,
+                )
+            if pooled_feature is None:
+                pl_feature = flat.reshape(n_scene, n_pl, n_node, self.hidden_dim)
         else:
+            pooled_feature = None
             # VectorNet: per-node MLP to d/2, concat with max-pooled context
             for i in range(self.cfg.n_layer):
                 is_last = i == self.cfg.n_layer - 1
@@ -90,7 +121,9 @@ class MapEncoder(nn.Module):
                     [enc, jnp.broadcast_to(pooled, enc.shape)], axis=-1
                 )
 
-        if self.cfg.pool_mode == "max":
+        if pooled_feature is not None:
+            pl_feature = pooled_feature  # kernel already pooled (masked max)
+        elif self.cfg.pool_mode == "max":
             pl_feature = jnp.where(map_valid[..., None], pl_feature, float("-inf"))
             pl_feature = jnp.max(pl_feature, axis=2)
         elif self.cfg.pool_mode == "first":
