@@ -34,7 +34,10 @@ class WOMDMetrics:
         self.step_current = step_current
         self.interactive_challenge = interactive_challenge
         self.track_future_samples = step_gt - step_current
-        assert self.track_future_samples == 80
+        # the official challenge layout needs the full 80-step future (the
+        # 10->2 Hz downsample below indexes [4:80:5]); shorter debug horizons
+        # disable the WOMD metric instead of crashing the validation loop
+        self.enabled = self.track_future_samples == 80
         if self.interactive_challenge:
             self.m_joint, self.n_pred = 1, 2
         else:
@@ -65,6 +68,8 @@ class WOMDMetrics:
 
         Ref womd.py:60-152.
         """
+        if not self.enabled:
+            return
         batch = {k: np.asarray(v) for k, v in batch.items()}
         pred_traj = np.asarray(pred_traj)
 
@@ -157,6 +162,8 @@ class WOMDMetrics:
         )
 
     def compute(self) -> Dict[str, float]:
+        if not self.enabled:
+            return {}
         raw = self.engine.compute()
         out = {}
         for k, v in raw.items():
