@@ -387,6 +387,7 @@ def ablation(name: str, base: Optional[ExperimentConfig] = None) -> ExperimentCo
         )
     if name == "trafficsim":
         # StateIntegrator dynamics + resample latent + goal/latent first
+        # (docs/ablation_models.md TrafficSim: per-type max_v 27/6/3)
         return replace(
             cfg,
             model=replace(
@@ -400,13 +401,74 @@ def ablation(name: str, base: Optional[ExperimentConfig] = None) -> ExperimentCo
             ),
             dynamics=replace(
                 cfg.dynamics,
-                use_veh_dynamics_for_all=True,
                 veh=DynamicsTypeConfig(kind="state_integrator", max_v=27.0),
+                cyc=DynamicsTypeConfig(kind="state_integrator", max_v=6.0),
+                ped=DynamicsTypeConfig(kind="state_integrator", max_v=3.0),
             ),
         )
     if name == "bc":
-        # behavior cloning: full-horizon teacher forcing
-        return replace(cfg, tf_training=replace(cfg.tf_training, step_horizon=91))
+        # behavior cloning: full-horizon teacher forcing (step_horizon=90)
+        return replace(cfg, tf_training=replace(cfg.tf_training, step_horizon=90))
+    if name == "bc_simnet":
+        return ablation("bc", ablation("simnet", cfg))
+    if name == "no_free_nats":
+        return replace(cfg, training_metrics=replace(cfg.training_metrics, kl_free_nats=-1.0))
+    if name == "large_kl":
+        return replace(cfg, training_metrics=replace(cfg.training_metrics, w_vae_kl=1e-2))
+    if name == "action_gradients":
+        return replace(cfg, detach_state_policy=False)
+    if name == "goal_no_navigator":
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                goal_manager=replace(
+                    m.goal_manager, goal_attr_mode="goal_xy", disable_if_reached=False
+                ),
+            ),
+        )
+    if name == "no_latent":
+        le = m.latent_encoder
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                latent_encoder=replace(
+                    le,
+                    latent_prior=replace(le.latent_prior, dist_type="dummy"),
+                    latent_post=replace(le.latent_post, dist_type="dummy"),
+                ),
+            ),
+            training_metrics=replace(cfg.training_metrics, w_vae_kl=0.0),
+        )
+    if name == "no_goal":
+        return replace(
+            cfg,
+            model=replace(m, goal_manager=replace(m.goal_manager, goal_attr_mode="dummy")),
+            training_metrics=replace(cfg.training_metrics, w_goal=0.0),
+        )
+    if name == "scene_transformer_pe":
+        # Eq. 1: PE position + unit dir, everything into the MLP
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                pose_pe_map="pe_xy_unit_dir", pose_pe_tl="pe_xy_unit_dir",
+                pose_pe_agent="pe_xy_unit_dir",
+                input_pe_encoder=replace(m.input_pe_encoder, pe_mode="input"),
+            ),
+        )
+    if name == "pe_add":
+        # Eq. 2: PE for position and direction, added after the MLP
+        return replace(
+            cfg,
+            model=replace(
+                m,
+                pose_pe_map="pe_xy_dir", pose_pe_tl="pe_xy_dir", pose_pe_agent="pe_xy_dir",
+                pe_dim=m.hidden_dim,
+                input_pe_encoder=replace(m.input_pe_encoder, pe_mode="add"),
+            ),
+        )
     if name in ("pe_xy_dir", "pe_xy_unit_dir", "xy_dir", "mpa_pl"):
         return replace(
             cfg, model=replace(m, pose_pe_map=name, pose_pe_tl=name, pose_pe_agent=name)
