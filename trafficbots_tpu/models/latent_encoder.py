@@ -129,7 +129,8 @@ class LatentEncoder(nn.Module):
             )
             self.temporal_post = StackedGRU(
                 hidden_dim=hidden, num_layers=self.agent_temporal.num_layers,
-                dropout=self.agent_temporal.dropout, name="temporal_post",
+                dropout=self.agent_temporal.dropout, kind=self.agent_temporal.kind,
+                name="temporal_post",
             )
             self.interaction_post = MultiAgentTF(
                 hidden_dim=hidden, n_layer=ai.n_layer, mask_self_agent=ai.mask_self_agent,
@@ -143,7 +144,8 @@ class LatentEncoder(nn.Module):
                 else:
                     self.temporal_prior = StackedGRU(
                         hidden_dim=hidden, num_layers=self.agent_temporal.num_layers,
-                        dropout=self.agent_temporal.dropout, name="temporal_prior",
+                        dropout=self.agent_temporal.dropout, kind=self.agent_temporal.kind,
+                        name="temporal_prior",
                     )
                     self.interaction_prior = MultiAgentTF(
                         hidden_dim=hidden, n_layer=ai.n_layer, mask_self_agent=ai.mask_self_agent,

@@ -415,6 +415,10 @@ class StackedGRU(nn.Module):
     hidden_dim: int
     num_layers: int = 3
     dropout: float = 0.1
+    # "gru_loop" masks hidden/output for invalid agents per step (default);
+    # "gru_unmasked" is the TrafficSim ablation (ref agent_temporal.py:156-193);
+    # "dummy" passes features through untouched (ref agent_temporal.py:42-47)
+    kind: str = "gru_loop"
 
     def setup(self):
         self.cells = [nn.GRUCell(self.hidden_dim, name=f"gru{i}") for i in range(self.num_layers)]
@@ -425,6 +429,8 @@ class StackedGRU(nn.Module):
 
     def _step(self, x, valid, h, deterministic):
         """x [B, A, D], valid [B, A], h [L, B, A, D] -> (y, h')."""
+        if self.kind == "dummy":
+            return jnp.where(valid[..., None], x, 0.0), h
         hs = []
         inp = x
         for i, cell in enumerate(self.cells):
@@ -434,6 +440,8 @@ class StackedGRU(nn.Module):
                 inp = self.do(inp, deterministic=deterministic)
             hs.append(h_i)
         h_new = jnp.stack(hs, axis=0)
+        if self.kind == "gru_unmasked":
+            return inp, h_new
         invalid = ~valid[..., None]
         h_new = jnp.where(invalid[None], 0.0, h_new)
         y = jnp.where(invalid, 0.0, inp)

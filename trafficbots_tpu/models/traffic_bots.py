@@ -88,7 +88,7 @@ class TrafficBots(nn.Module):
         )
         self.agent_temporal = StackedGRU(
             hidden_dim=hidden, num_layers=cfg.agent_temporal.num_layers,
-            dropout=cfg.agent_temporal.dropout,
+            dropout=cfg.agent_temporal.dropout, kind=cfg.agent_temporal.kind,
         )
         ai = cfg.agent_interaction
         tf_kwargs = dict(
