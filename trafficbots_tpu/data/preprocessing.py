@@ -184,6 +184,10 @@ def sc_latent(
 
     if perturb:
         assert key is not None
+        # marker consumed by orchestration.encode_episode_features: the
+        # latent views see a different (perturbed) map, so the map encoding
+        # must NOT be shared across views
+        out["latent_perturbed"] = jnp.ones((), bool)
         k_yaw, k_pos, key = jax.random.split(key, 3)
         n_scene = batch["sc/agent_pos"].shape[0]
         rand_yaw = jax.random.uniform(

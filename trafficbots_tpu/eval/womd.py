@@ -38,6 +38,15 @@ class WOMDMetrics:
         # 10->2 Hz downsample below indexes [4:80:5]); shorter debug horizons
         # disable the WOMD metric instead of crashing the validation loop
         self.enabled = self.track_future_samples == 80
+        if not self.enabled:
+            import warnings
+
+            warnings.warn(
+                f"WOMDMetrics({prefix}) disabled: future horizon is "
+                f"{self.track_future_samples} steps, the challenge needs 80. "
+                "val/loss will NOT reflect mAP.",
+                stacklevel=2,
+            )
         if self.interactive_challenge:
             self.m_joint, self.n_pred = 1, 2
         else:

@@ -48,6 +48,8 @@ class MapEncoder(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (map_feature [n_scene, n_pl, d], map_valid [n_scene, n_pl])."""
+        import jax
+
         n_scene, n_pl, n_node = map_valid.shape
         tf_kwargs = tf_block_kwargs(self.tf_cfg)
 
@@ -63,12 +65,18 @@ class MapEncoder(nn.Module):
         )(map_valid, map_attr, map_pe, deterministic=deterministic)
 
         if self.cfg.densetnt_vectornet:
-            import jax
-
             flat = pl_feature.reshape(n_scene * n_pl, n_node, self.hidden_dim)
             flat_valid = map_valid.reshape(n_scene * n_pl, n_node)
+            # FusedNodeEncoder implements exactly the default layer recipe
+            # (pre-norm, relu, biases, no out-LN, fp32 compute); any other
+            # TransformerConfig falls back to the generic TransformerBlock so
+            # config switches are never silently ignored
             use_fused_stack = (
-                self.tf_cfg.norm_first and self.tf_cfg.d_feedforward > 0
+                self.tf_cfg.norm_first
+                and self.tf_cfg.d_feedforward > 0
+                and self.tf_cfg.activation == "relu"
+                and self.tf_cfg.bias
+                and not self.tf_cfg.out_layernorm
             )
             if use_fused_stack:
                 from ..ops.node_encoder import FusedNodeEncoder
