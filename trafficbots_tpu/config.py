@@ -88,6 +88,8 @@ class MapEncoderConfig:
     n_layer: int = 3
     mlp_dropout_p: float = 0.1
     mlp_use_layernorm: bool = False
+    # polylines per program in the fused node-encoder Pallas kernel
+    fused_block_pl: int = 8
 
 
 @dataclass(frozen=True)

@@ -84,7 +84,8 @@ class MapEncoder(nn.Module):
                 stack = FusedNodeEncoder(
                     d_model=self.hidden_dim, n_head=self.tf_cfg.n_head,
                     n_layer=self.cfg.n_layer, d_feedforward=self.tf_cfg.d_feedforward,
-                    dropout_p=self.tf_cfg.dropout_p, name="densetnt",
+                    dropout_p=self.tf_cfg.dropout_p, block_pl=self.cfg.fused_block_pl,
+                    name="densetnt",
                 )
                 fused_pool_ok = (
                     deterministic

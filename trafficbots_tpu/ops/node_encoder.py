@@ -143,6 +143,7 @@ class FusedNodeEncoder(nn.Module):
         zeroed by the caller's pl_valid mask, same as the -inf pool)."""
         BP, N, D = x.shape
         BLK = self.block_pl
+        assert BLK % 8 == 0, "pooled-output block sublane dim must be divisible by 8"
         assert BP % BLK == 0, f"n_scene*n_pl={BP} must be a multiple of {BLK}"
         R = BLK * N
         grid = BP // BLK
