@@ -53,6 +53,8 @@ def error_metrics_update(
 
 
 def error_metrics_compute(sums: Dict[str, jnp.ndarray], prefix: str = "") -> Dict[str, float]:
+    if not sums:  # no batches accumulated (e.g. val disabled)
+        return {}
     c = max(float(sums["err_counter"]), 1.0)
     return {
         f"{prefix}err/pos_meter": float(sums["err_pos_meter"]) / c,
@@ -100,6 +102,8 @@ def rule_metrics_update(
 
 
 def rule_metrics_compute(sums: Dict[str, jnp.ndarray], prefix: str = "") -> Dict[str, float]:
+    if not sums:  # no batches accumulated (e.g. val disabled)
+        return {}
     ca = max(float(sums["counter_agent"]), 1.0)
     cv = max(float(sums["counter_veh"]), 1.0)
     per_veh = {"run_road_edge", "run_red_light", "passive"}

@@ -80,6 +80,14 @@ def parse_args(argv: List[str]):
             resume = v
         elif k == "synthetic":
             synthetic = v.lower() in ("1", "true")
+        elif k == "debug_nans":
+            # trainer guard analog of the reference's detect_anomaly
+            # (configs/trainer/default.yaml:17): fail fast on non-finite
+            # values anywhere in a jitted computation
+            if v.lower() in ("1", "true"):
+                import jax
+
+                jax.config.update("jax_debug_nans", True)
         elif k == "n_epochs":
             n_epochs = int(v)
         elif k == "steps_per_epoch":
