@@ -128,9 +128,15 @@ class Validator:
     """Host-side accumulation across validation batches + epoch-end compute."""
 
     def __init__(self, cfg: ExperimentConfig, model, use_native_metrics: bool = True,
-                 sub_rr: Optional[SubWOMD] = None, sub_jf: Optional[SubWOMD] = None):
+                 sub_rr: Optional[SubWOMD] = None, sub_jf: Optional[SubWOMD] = None,
+                 mesh=None):
+        """`mesh` (optional jax.sharding.Mesh with a "data" axis) shards the
+        validation batch over devices; metric sums come back replicated and
+        the post-processed predictions gather to the host for WOMD packing —
+        the eval analog of the DP train step (SURVEY.md section 2.2)."""
         self.cfg = cfg
         self.model = model
+        self.mesh = mesh
         self.womd_rr = WOMDMetrics(
             "reactive_replay", cfg.time_step_end, cfg.time_step_current,
             cfg.interactive_challenge, use_native=use_native_metrics,
@@ -160,6 +166,15 @@ class Validator:
                 return validation_device_step(cfg, model, params, batch, key)
 
             self._jitted = jax.jit(fn)
+        if self.mesh is not None:
+            # scenes shard over the data axis; GSPMD propagates the sharding
+            # through the program and np.asarray gathers outputs to host
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = {
+                k: jax.device_put(v, NamedSharding(self.mesh, P("data")))
+                for k, v in batch.items()
+            }
         out = self._jitted(params, batch, key)
 
         for k in self.sums:

@@ -166,7 +166,7 @@ def main(argv: Optional[List[str]] = None):
         step_fn = make_jitted_dp_train_step(cfg, model, tx, mesh)
         params = jax.device_put(params, NamedSharding(mesh, P()))
         opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
-        validator = Validator(cfg, model)
+        validator = Validator(cfg, model, mesh=mesh)
 
         global_step = 0
         for epoch in range(n_epochs):
@@ -204,7 +204,7 @@ def main(argv: Optional[List[str]] = None):
     elif action == "validate":
         if resume and ckpt.exists("best"):
             params = ckpt.restore("best", {"params": params})["params"]
-        validator = Validator(cfg, model)
+        validator = Validator(cfg, model, mesh=make_mesh() if jax.device_count() > 1 else None)
         for i, batch_np in enumerate(val_iter_fn()):
             if 0 <= val_batches <= i:
                 break
