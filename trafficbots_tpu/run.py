@@ -202,9 +202,22 @@ def main(argv: Optional[List[str]] = None):
         logger.log(prof.summary(), global_step, phase="profile")
 
     elif action == "validate":
+        from .eval.submission import SubWOMD
+
         if resume and ckpt.exists("best"):
             params = ckpt.restore("best", {"params": params})["params"]
-        validator = Validator(cfg, model, mesh=make_mesh() if jax.device_count() > 1 else None)
+        # submission writing during validation (ref waymo_motion.py:657-665,
+        # 724-753): both reactive-replay (K=1) and joint-future (K=6) files
+        write_subs = os.environ.get("WRITE_SUBMISSIONS", "0").lower() in ("1", "true")
+        sub_rr = SubWOMD(k_futures=1, interactive_challenge=cfg.interactive_challenge,
+                         activate=write_subs, method_name="trafficbots_tpu_rr")
+        sub_jf = SubWOMD(k_futures=cfg.n_joint_future,
+                         interactive_challenge=cfg.interactive_challenge,
+                         activate=write_subs, method_name="trafficbots_tpu_jf")
+        validator = Validator(
+            cfg, model, mesh=make_mesh() if jax.device_count() > 1 else None,
+            sub_rr=sub_rr, sub_jf=sub_jf,
+        )
         for i, batch_np in enumerate(val_iter_fn()):
             if 0 <= val_batches <= i:
                 break
@@ -215,6 +228,11 @@ def main(argv: Optional[List[str]] = None):
         for k, v in sorted(val_metrics.items()):
             if "/" in k and "waymo_metrics" not in k:
                 print(f"{k}: {v:.4f}")
+        if write_subs:
+            for p in sub_rr.save_sub_files(os.path.join(run_dir, "submission")):
+                print(f"submission written: {p}")
+            for p in sub_jf.save_sub_files(os.path.join(run_dir, "submission")):
+                print(f"submission written: {p}")
 
     elif action == "test":
         # Test split: no GT — prior latent + predicted goal, submission files
