@@ -278,11 +278,21 @@ def rollout(
         xs["sdc_acc"] = jnp.moveaxis(gt_sdc["acc"][:, step_start : step_end + 1], 1, 0)
         xs["sdc_yaw_rate"] = jnp.moveaxis(gt_sdc["yaw_rate"][:, step_start : step_end + 1], 1, 0)
 
+    # per-step PRNG is only consumed when something is stochastic; in the
+    # fully-deterministic eval rollout the 5-way split x90 steps is ~450
+    # dead threefry ops — skip it (static decision, compiled away)
+    # (the episode latent is sampled BEFORE the scan; in-body consumers are
+    # action sampling, dropout, hidden-drop, and per-step latent resampling)
+    need_step_rng = training or not deterministic_action or mcfg.resample_latent
+
     def body(carry: RolloutCarry, x) -> Tuple[RolloutCarry, StepOutput]:
         step = x["step"]
         agent = carry.agent
         key = carry.key
-        key, k_action, k_dropout, k_drop_hidden, k_resample = jax.random.split(key, 5)
+        if need_step_rng:
+            key, k_action, k_dropout, k_drop_hidden, k_resample = jax.random.split(key, 5)
+        else:
+            k_action = k_dropout = k_drop_hidden = k_resample = key
 
         # teacher forcing inputs for this step
         mask_override = x["tf_mask"]
