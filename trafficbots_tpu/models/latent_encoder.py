@@ -186,6 +186,7 @@ class LatentEncoder(nn.Module):
             tgt=map_feature,
             tgt_padding_mask=~map_feature_valid,
             deterministic=deterministic,
+            allow_fused=False,  # episode encode: fused vs XLA measured neutral; XLA keeps this path simple
         )
         x = x.reshape(n_scene, n_step, n_agent, d)
         # cross-attn to this step's traffic lights, per step
@@ -195,6 +196,7 @@ class LatentEncoder(nn.Module):
             tgt=tl_feature.reshape(n_scene * n_step, -1, d),
             tgt_padding_mask=~tl_feature_valid.reshape(n_scene * n_step, -1),
             deterministic=deterministic,
+            allow_fused=False,
         )
         x = x.reshape(n_scene, n_step, n_agent, d)
 
@@ -202,11 +204,11 @@ class LatentEncoder(nn.Module):
         interaction = self.interaction_post if posterior else self.interaction_prior
 
         if self.interaction_first:
-            x, _ = interaction(x, agent_feature, agent_feature_valid, deterministic=deterministic)
+            x, _ = interaction(x, agent_feature, agent_feature_valid, deterministic=deterministic, allow_fused=False)
             x, _ = temporal(x, agent_feature_valid, deterministic=deterministic)
         else:
             x, _ = temporal(x, agent_feature_valid, deterministic=deterministic)
-            x, _ = interaction(x, agent_feature, agent_feature_valid, deterministic=deterministic)
+            x, _ = interaction(x, agent_feature, agent_feature_valid, deterministic=deterministic, allow_fused=False)
 
         x, latent_valid = temporal_aggregate(x, agent_feature_valid, self.temporal_aggregate_mode)
         return dist_enc(x, latent_valid, deterministic)

@@ -112,6 +112,7 @@ class Attention(nn.Module):
         deterministic: bool = True,
         tgt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # cached (k, v)
         return_kv: bool = False,
+        allow_fused: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """`tgt_kv` short-circuits the K/V projections with precomputed values
         — the rollout hot-loop optimization for step-invariant targets (the
@@ -148,9 +149,13 @@ class Attention(nn.Module):
         # Fused Pallas path: one kernel for mask+softmax+matmuls, keeping the
         # [S, T] scores in VMEM (the rollout hot loop is bound by kernel count
         # and logits HBM traffic). Inactive when attention-weight dropout is
-        # live or the (viz-only) weights are requested.
+        # live or the (viz-only) weights are requested. Callers outside the
+        # rollout scan (latent encoder, map polyline self-attn) pass
+        # allow_fused=False: measured neutral vs XLA at their large-batch
+        # shapes, so they stay on the simpler XLA path.
         use_fused = (
             self.fused
+            and allow_fused
             and not need_weights
             and (deterministic or self.dropout_p <= 0)
             and jax.default_backend() == "tpu"
@@ -219,6 +224,7 @@ class TransformerCrossAttention(nn.Module):
         deterministic: bool = True,
         tgt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         return_tgt_kv: bool = False,
+        allow_fused: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         act = _activation(self.activation)
         attn = Attention(
@@ -246,7 +252,7 @@ class TransformerCrossAttention(nn.Module):
         src2, attn_weights = attn(
             src2, tgt=tgt_n, tgt_padding_mask=tgt_padding_mask,
             attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
-            tgt_kv=tgt_kv,
+            tgt_kv=tgt_kv, allow_fused=allow_fused,
         )
 
         if self.d_feedforward > 0:
@@ -307,6 +313,7 @@ class TransformerBlock(nn.Module):
         deterministic: bool = True,
         tgt_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,  # per layer
         return_tgt_kv: bool = False,
+        allow_fused: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         layers = [
             TransformerCrossAttention(
@@ -327,6 +334,7 @@ class TransformerBlock(nn.Module):
                 tgt_padding_mask=tgt_padding_mask, attn_mask=attn_mask,
                 need_weights=need_weights, deterministic=deterministic,
                 tgt_kv=None if tgt_kv is None else tgt_kv[i],
+                allow_fused=allow_fused,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(name="out_ln")(src)
@@ -507,6 +515,7 @@ class MultiAgentTF(nn.Module):
         valid: jnp.ndarray,  # [B(, T), A]
         need_weights: bool = False,
         deterministic: bool = True,
+        allow_fused: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         tf_kwargs = dict(self.tf_kwargs or {})
         seq = valid.ndim == 3
@@ -531,6 +540,7 @@ class MultiAgentTF(nn.Module):
         )(
             x, src_padding_mask=~v, tgt=tgt, tgt_padding_mask=~v,
             attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
+            allow_fused=allow_fused,
         )
 
         if self.mask_self_agent:
