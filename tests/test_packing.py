@@ -128,3 +128,41 @@ def test_training_random_offset():
     ) + attrs["scenario_center"]
     sdc_world = np.asarray(sc["tracks"][0]["states"][0][:2])
     np.testing.assert_allclose(world, sdc_world, atol=1e-3)
+
+
+def test_episode_loader_iteration(tmp_path):
+    """Threaded EpisodeLoader: batching, ordering (val), random-index
+    sampling (train), and list handling for scenario ids."""
+    from trafficbots_tpu.data.h5_loader import EpisodeLoader
+
+    d = DataConfig(n_pl=64, n_tl=20, n_tl_stop=20, n_agent=8, n_agent_no_sim=16)
+    episodes = [
+        pack_scenario(synthetic_scenario(seed=s), "validation", seed=0, **SMALL)
+        for s in range(5)
+    ]
+    path = str(tmp_path / "validation.h5")
+    write_h5(episodes, path)
+
+    ds = H5Dataset(path, tensor_size_val(d), is_train=False)
+    assert len(ds) == 5
+    loader = EpisodeLoader(ds, batch_size=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 2 + 2 + 1
+    assert batches[0]["agent/valid"].shape == (2, d.n_step, d.n_agent)
+    assert batches[-1]["agent/valid"].shape == (1, d.n_step, d.n_agent)
+    # ordered iteration for val
+    np.testing.assert_array_equal(batches[0]["episode_idx"], [0, 1])
+    np.testing.assert_array_equal(batches[1]["episode_idx"], [2, 3])
+    assert isinstance(batches[0]["scenario_id"], list)
+    assert batches[0]["scenario_id"][0] == b"synthetic_0"
+    # attrs ride along for the submission writer
+    assert batches[0]["scenario_center"].shape == (2, 2)
+
+    # train: random index per draw (ref data_h5_womd.py:28-30), deterministic
+    # under a fixed seed
+    ds_t = H5Dataset(path, tensor_size_val(d), is_train=True)
+    l1 = [b["episode_idx"].tolist() for b in EpisodeLoader(ds_t, 2, shuffle_seed=7)]
+    l2 = [b["episode_idx"].tolist() for b in EpisodeLoader(ds_t, 2, shuffle_seed=7)]
+    assert l1 == l2
+    flat = [i for b in l1 for i in b]
+    assert len(flat) == 5 and all(0 <= i < 5 for i in flat)  # 2+2+1 draws
