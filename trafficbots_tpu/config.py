@@ -301,6 +301,10 @@ class ModelConfig:
     )
     interaction_first: bool = True
     n_layer_final_mlp: int = -1
+    # use the fused Pallas attention also for the small-target in-scan blocks
+    # (as2tl T=100, agent interaction T=64); the big-target as2pl (T=1024)
+    # always uses it when eligible
+    fused_attention_small_t: bool = True
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96
     pose_pe_map: str = "pe_xy_yaw"

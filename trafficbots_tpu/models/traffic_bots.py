@@ -231,6 +231,7 @@ class TrafficBots(nn.Module):
             x, src_padding_mask=~agent_valid, tgt=tl_feature,
             tgt_padding_mask=~tl_valid, need_weights=need_weights,
             deterministic=deterministic,
+            allow_fused=self.cfg.fused_attention_small_t,
         )
 
         def add_goal_latent(x):
@@ -243,13 +244,15 @@ class TrafficBots(nn.Module):
 
         if cfg.interaction_first:
             x, attn_agent = self.agent_interaction_tf(
-                x, agent_feature, agent_valid, need_weights=need_weights, deterministic=deterministic
+                x, agent_feature, agent_valid, need_weights=need_weights,
+                deterministic=deterministic, allow_fused=self.cfg.fused_attention_small_t,
             )
             x, hidden = self.agent_temporal(x, agent_valid, hidden, deterministic=deterministic)
         else:
             x, hidden = self.agent_temporal(x, agent_valid, hidden, deterministic=deterministic)
             x, attn_agent = self.agent_interaction_tf(
-                x, agent_feature, agent_valid, need_weights=need_weights, deterministic=deterministic
+                x, agent_feature, agent_valid, need_weights=need_weights,
+                deterministic=deterministic, allow_fused=self.cfg.fused_attention_small_t,
             )
 
         if not cfg.add_goal_latent_first:
