@@ -73,7 +73,7 @@ class MLP(nn.Module):
             is_last = i == n - 1
             if not is_last or self.end_layer_activation:
                 if self.use_layernorm:
-                    x = nn.LayerNorm(name=f"ln{i}")(x)
+                    x = nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(x)
                 if self.dropout_p is not None and self.dropout_p > 0:
                     x = nn.Dropout(self.dropout_p, name=f"do{i}")(x, deterministic=deterministic)
             if not is_last:
@@ -236,15 +236,15 @@ class TransformerCrossAttention(nn.Module):
         if return_tgt_kv:
             # precompute-only pass: norm + K/V projections of the (step-
             # invariant) target, nothing else
-            tgt_n = nn.LayerNorm(name="norm_tgt")(tgt) if self.norm_first else tgt
+            tgt_n = nn.LayerNorm(epsilon=1e-5, name="norm_tgt")(tgt) if self.norm_first else tgt
             return attn(tgt_n, tgt=None, return_kv=True)
 
         if tgt is None and tgt_kv is None:
             tgt_padding_mask = src_padding_mask
 
         if self.norm_first:
-            src2 = nn.LayerNorm(name="norm1")(src)
-            tgt_n = nn.LayerNorm(name="norm_tgt")(tgt) if tgt is not None else None
+            src2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
+            tgt_n = nn.LayerNorm(epsilon=1e-5, name="norm_tgt")(tgt) if tgt is not None else None
         else:
             src2 = src
             tgt_n = tgt
@@ -259,9 +259,9 @@ class TransformerCrossAttention(nn.Module):
             do1 = dropout("do1")
             src = src + (do1(src2, deterministic=deterministic) if do1 else src2)
             if self.norm_first:
-                src2 = nn.LayerNorm(name="norm2")(src)
+                src2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
             else:
-                src = nn.LayerNorm(name="norm1_post")(src)
+                src = nn.LayerNorm(epsilon=1e-5, name="norm1_post")(src)
                 src2 = src
             src2 = act(nn.Dense(self.d_feedforward, name="linear1", dtype=self.compute_dtype)(src2))
             do_ff = dropout("do_ff")
@@ -271,14 +271,14 @@ class TransformerCrossAttention(nn.Module):
             do2 = dropout("do2")
             src = src + (do2(src2, deterministic=deterministic) if do2 else src2)
             if not self.norm_first:
-                src = nn.LayerNorm(name="norm2_post")(src)
+                src = nn.LayerNorm(epsilon=1e-5, name="norm2_post")(src)
         else:
             # DenseTNT/VectorNet variant: activation residual, no FFN
             src2 = act(src2)
             do = dropout("do_dtnt")
             src = src + (do(src2, deterministic=deterministic) if do else src2)
             if not self.norm_first:
-                src = nn.LayerNorm(name="norm1_post")(src)
+                src = nn.LayerNorm(epsilon=1e-5, name="norm1_post")(src)
 
         if src_padding_mask is not None:
             src = jnp.where(src_padding_mask[..., None], 0.0, src)
@@ -337,7 +337,7 @@ class TransformerBlock(nn.Module):
                 allow_fused=allow_fused,
             )
         if self.out_layernorm:
-            src = nn.LayerNorm(name="out_ln")(src)
+            src = nn.LayerNorm(epsilon=1e-5, name="out_ln")(src)
         return src, attn_weights
 
 

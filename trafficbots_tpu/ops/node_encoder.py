@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # python float: jnp constants would be captured consts in pallas
-_LN_EPS = 1e-6  # flax LayerNorm default
+_LN_EPS = 1e-5  # torch LayerNorm eps (parity with the reference)
 
 
 def _ln(x, scale, bias):
