@@ -189,27 +189,64 @@ class EpisodeLoader:
             return len(self.ds) // self.batch_size
         return (len(self.ds) + self.batch_size - 1) // self.batch_size
 
+    @staticmethod
+    def _assemble(episodes: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        batch = {
+            k: np.stack([e[k] for e in episodes])
+            for k in episodes[0]
+            if not isinstance(episodes[0][k], np.bytes_)
+        }
+        if "scenario_id" in episodes[0]:
+            batch["scenario_id"] = [e["scenario_id"] for e in episodes]
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Parallel h5 reads over an n_workers thread pool (each worker holds
+        its own h5 handle via H5Dataset's thread-local), batches assembled in
+        order, `prefetch` batches kept in flight — the torch DataLoader
+        num_workers+pin_memory analog (ref data_h5_womd.py:193-203).
+
+        Ordering/determinism: all indices are drawn up front from the seeded
+        RNG (train samples a random index per draw, ref :28-30; val/test are
+        sequential), so worker scheduling cannot perturb the epoch.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.ds)
+        rng = np.random.RandomState(self.seed)
+        idx_batches: List[List[int]] = []
+        for b in range(len(self)):
+            idxs = list(range(b * self.batch_size, min((b + 1) * self.batch_size, n)))
+            if self.ds.is_train:
+                idxs = [int(rng.randint(n)) for _ in idxs]
+            idx_batches.append(idxs)
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        n_batches = len(self)
         stop = threading.Event()
 
         def producer():
-            rng = np.random.RandomState(self.seed)
             try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idxs = range(b * self.batch_size, min((b + 1) * self.batch_size, len(self.ds)))
-                    episodes = [self.ds.get(i, rng) for i in idxs]
-                    batch = {
-                        k: np.stack([e[k] for e in episodes])
-                        for k in episodes[0]
-                        if not isinstance(episodes[0][k], np.bytes_)
-                    }
-                    if "scenario_id" in episodes[0]:
-                        batch["scenario_id"] = [e["scenario_id"] for e in episodes]
-                    q.put(batch)
+                with ThreadPoolExecutor(max_workers=max(1, self.n_workers)) as pool:
+                    pending = deque()
+                    it = iter(idx_batches)
+
+                    def submit_next():
+                        idxs = next(it, None)
+                        if idxs is not None:
+                            pending.append([pool.submit(self.ds.get, i) for i in idxs])
+
+                    for _ in range(self.prefetch + 1):
+                        submit_next()
+                    while pending:
+                        if stop.is_set():
+                            for futs in pending:
+                                for f in futs:
+                                    f.cancel()
+                            return
+                        episodes = [f.result() for f in pending.popleft()]
+                        q.put(self._assemble(episodes))
+                        submit_next()
             finally:
                 q.put(None)
 
