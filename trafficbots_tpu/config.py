@@ -225,6 +225,9 @@ class TeacherForcingConfigC:
     step_horizon_decrease_per_epoch: int = 0
     prob_forcing_agent: float = 0.0
     prob_forcing_agent_decrease_per_epoch: float = 0.0
+    # what-if motion prediction: force the SDC (agent 0) to GT at every step
+    # (ref teacher_forcing.py:69-72, configs/resume sub_womd_sdc recipe)
+    gt_sdc: bool = False
 
 
 @dataclass(frozen=True)
@@ -351,6 +354,9 @@ class ExperimentConfig:
     time_step_sim_start: int = 1
     n_joint_future: int = 6
     interactive_challenge: bool = False
+    # render videos/dest-prob images for the first N val batches
+    # (ref configs/model/traffic_bots.yaml:10; 0 disables)
+    n_video_batch: int = 3
 
     step_detach_hidden: int = -1
     p_drop_hidden: float = -1.0

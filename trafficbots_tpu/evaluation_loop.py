@@ -35,7 +35,10 @@ def validation_device_step(
     and post-processed prediction dicts. Ref waymo_motion.py:574-753.
     """
     k1, k2 = jax.random.split(key)
-    batch = pre_processing(batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=True)
+    # val semantics: input/prior views come from the separately packed
+    # history/* keys (ref scene_centric.py:93 `prefix = "history/"`), while
+    # gt/* stays on the full-GT agent/* keys for metrics and losses.
+    batch = pre_processing(batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=False)
     feats = O.encode_episode_features(model, params, batch, training=False, key=None)
     input_dict = extract(batch, "input")
 
@@ -157,6 +160,20 @@ class Validator:
         self.womd_rr.reset()
         self.womd_jf.reset()
 
+    @staticmethod
+    def _host_gather(x):
+        """Per-scene device/host arrays -> full-batch numpy on every process.
+
+        Multi-process runs shard scenes over processes; the WOMD packer and
+        submission writer need the whole batch, so gather over DCN first
+        (SURVEY.md section 2.2: multihost_utils.process_allgather for the WOMD
+        metric inputs, ref womd.py:44-49 dist_sync_on_step)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     def step(self, params, batch_np: Dict[str, np.ndarray], key) -> None:
         batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
         if self._jitted is None:
@@ -177,10 +194,16 @@ class Validator:
             }
         out = self._jitted(params, batch, key)
 
+        # metric sums are replicated global reductions -> addressable everywhere
         for k in self.sums:
             self.sums[k] = M.add_metric_sums(self.sums[k], jax.tree.map(np.asarray, out[k]))
 
-        # host-side WOMD packing (tiny arrays)
+        # host-side WOMD packing (tiny arrays); per-scene outputs and the raw
+        # batch are scene-sharded in multi-process runs -> gather over DCN
+        if jax.process_count() > 1:
+            batch_np = {
+                k: self._host_gather(v) for k, v in batch_np.items() if not isinstance(v, list)
+            }
         mask_pred = batch_np.get("history/agent/role", batch_np["agent/role"])[..., 2]
         object_id = batch_np.get(
             "history/agent/object_id",
@@ -188,12 +211,17 @@ class Validator:
                 np.arange(batch_np["agent/valid"].shape[-1]), batch_np["agent/valid"].shape[::2]
             )),
         )
-        self.womd_rr.update(batch_np, np.asarray(out["pred_rr"]["waymo_trajs"]),
-                            np.asarray(out["pred_rr"]["waymo_scores"]))
-        self.womd_jf.update(batch_np, np.asarray(out["pred_jf"]["waymo_trajs"]),
-                            np.asarray(out["pred_jf"]["waymo_scores"]))
+        # gather once (collective: must run on every process, unconditionally)
+        trajs_rr = self._host_gather(out["pred_rr"]["waymo_trajs"])
+        scores_rr = self._host_gather(out["pred_rr"]["waymo_scores"])
+        trajs_jf = self._host_gather(out["pred_jf"]["waymo_trajs"])
+        scores_jf = self._host_gather(out["pred_jf"]["waymo_scores"])
+        self.womd_rr.update(batch_np, trajs_rr, scores_rr)
+        self.womd_jf.update(batch_np, trajs_jf, scores_jf)
 
-        if self.sub_rr.activate or self.sub_jf.activate:
+        # submissions accumulate on process 0 only (ref submission.py:12,
+        # waymo_motion.py:951-953 rank-0 gating)
+        if (self.sub_rr.activate or self.sub_jf.activate) and jax.process_index() == 0:
             common = dict(
                 mask_pred=mask_pred,
                 object_id=object_id,
@@ -203,12 +231,8 @@ class Validator:
                     "scenario_id", [str(i) for i in batch_np.get("episode_idx", range(mask_pred.shape[0]))]
                 ),
             )
-            self.sub_rr.add_to_submissions(
-                np.asarray(out["pred_rr"]["waymo_trajs"]), np.asarray(out["pred_rr"]["waymo_scores"]), **common
-            )
-            self.sub_jf.add_to_submissions(
-                np.asarray(out["pred_jf"]["waymo_trajs"]), np.asarray(out["pred_jf"]["waymo_scores"]), **common
-            )
+            self.sub_rr.add_to_submissions(trajs_rr, scores_rr, **common)
+            self.sub_jf.add_to_submissions(trajs_jf, scores_jf, **common)
 
     def epoch_end(self) -> Dict[str, float]:
         """Ref waymo_motion.py:755-794. val/loss = -mAP(joint_future_pred)."""
@@ -225,6 +249,124 @@ class Validator:
         out.update(self.womd_jf.compute())
         out["val/loss"] = -out.get("joint_future_pred/mean_average_precision", 0.0)
         return out
+
+
+def _vis_device_step(cfg: ExperimentConfig, model, params, batch, key):
+    """Reactive-replay rollout with attention collection + dest probabilities,
+    for validation-time media rendering (ref waymo_motion.py:666-680)."""
+    batch = pre_processing(batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=False)
+    feats = O.encode_episode_features(model, params, batch, training=False, key=None)
+    input_dict = extract(batch, "input")
+
+    goal_gt = goal_valid = dest_probs = None
+    if cfg.model.goal_manager.goal_attr_mode != "dummy":
+        goal_gt, goal_valid = O.get_gt_goal(
+            cfg, input_dict["agent_valid"], batch["gt/goal"], batch["gt/dest"]
+        )
+        goal_pred = model.apply(
+            {"params": params}, method="pred_goal",
+            agent_type=batch["ref/agent_type"], map_type=batch["ref/map_type"],
+            agent_state=batch["ref/agent_state"], **feats["input"],
+        )
+        if cfg.model.goal_manager.goal_attr_mode == "dest" and goal_pred is not None:
+            dest_probs = goal_pred.probs  # [B, A, P]
+
+    latent_post = model.apply(
+        {"params": params}, method="latent", posterior=True, **feats["latent_post"]
+    )
+    mask_tf = teacher_forcing_mask(O.tf_cfg_to_sim(cfg.tf_reactive_replay), batch["gt/valid"])
+    buf = O.reactive_replay(
+        cfg, model, params, batch, feats["input"], latent_post,
+        goal_gt, goal_valid, mask_tf, key,
+        deterministic_latent=True, deterministic_action=True,
+        collect_attention=True,
+    )
+    return buf, dest_probs
+
+
+def render_validation_media(
+    cfg: ExperimentConfig, model, params, val_iter_fn, key,
+    out_dir: str, n_batches: Optional[int] = None,
+) -> List[str]:
+    """Render prediction videos, attention videos and dest-probability images
+    for the first `cfg.n_video_batch` validation batches.
+
+    Capability port of the reference's per-epoch video logging
+    (waymo_motion.py:666-680,734-753,796-900 + n_video_batch at
+    configs/model/traffic_bots.yaml:10); artifacts land under `out_dir`
+    instead of wandb. Returns the written file paths; empty when cv2 is
+    unavailable (headless images).
+    """
+    from .utils.vis import _HAS_CV2, VisScene
+
+    if not _HAS_CV2:
+        return []
+    import os
+
+    n_batches = cfg.n_video_batch if n_batches is None else n_batches
+    jitted = jax.jit(lambda p, b, k: _vis_device_step(cfg, model, p, b, k))
+    paths: List[str] = []
+    for batch_idx, batch_np in enumerate(val_iter_fn()):
+        if batch_idx >= n_batches:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
+        key, k_vis = jax.random.split(key)
+        buf, dest_probs = jitted(params, batch, k_vis)
+        buf = jax.tree.map(np.asarray, buf)
+        fs = buf.step_future_start
+
+        n_scene = batch_np["agent/valid"].shape[0]
+        for idx in range(n_scene):
+            scene = VisScene(
+                batch_np["map/valid"][idx], batch_np["map/type"][idx],
+                batch_np["map/pos"][idx], batch_np["map/boundary"][idx],
+            )
+            episode = {
+                "agent/valid": batch_np["agent/valid"][idx],
+                "agent/pos": batch_np["agent/pos"][idx],
+                "agent/yaw_bbox": batch_np["agent/yaw_bbox"][idx],
+                "agent/size": batch_np["agent/size"][idx],
+                "agent/type": batch_np["agent/type"][idx],
+                "agent/role": batch_np["agent/role"][idx],
+            }
+            for k in ("tl_stop/valid", "tl_stop/pos", "tl_stop/state"):
+                if k in batch_np:
+                    episode[k] = batch_np[k][idx]
+            # rollout outputs are [A, S, ...]; videos consume step-major [S, A, ...]
+            violations = np.zeros_like(buf.valid[idx], dtype=bool)
+            for v in buf.violations.values():
+                violations |= np.asarray(v[idx], dtype=bool)
+            prediction = {
+                "agent/valid": buf.valid[idx].swapaxes(0, 1)[fs:],
+                "agent/pos": buf.preds[idx, :, :, :2].swapaxes(0, 1)[fs:],
+                "agent/yaw_bbox": buf.preds[idx, :, :, 2:3].swapaxes(0, 1)[fs:],
+                "violations": violations.swapaxes(0, 1)[fs:],
+            }
+            tag = f"{batch_idx}-{idx}"
+            paths.append(scene.save_prediction_video(
+                os.path.join(out_dir, f"reactive_replay_{tag}.mp4"),
+                episode, prediction, step_current=cfg.time_step_current,
+            ))
+            if buf.attn and "attn_pl" in buf.attn:
+                sdc = int(np.argmax(batch_np["agent/role"][idx, :, 0]))
+                paths.append(scene.save_attention_video(
+                    os.path.join(out_dir, f"attn_pl_{tag}.mp4"),
+                    batch_np["map/valid"][idx], batch_np["map/pos"][idx],
+                    buf.valid[idx].swapaxes(0, 1),
+                    buf.preds[idx, :, :, :2].swapaxes(0, 1),
+                    buf.preds[idx, :, :, 2].swapaxes(0, 1),
+                    batch_np["agent/size"][idx],
+                    buf.attn["attn_pl"][idx],
+                    agent_idx=sdc,
+                ))
+            if dest_probs is not None:
+                sdc = int(np.argmax(batch_np["agent/role"][idx, :, 0]))
+                paths.append(scene.save_dest_prob_image(
+                    os.path.join(out_dir, f"dest_prob_{tag}.png"),
+                    batch_np["map/valid"][idx], batch_np["map/pos"][idx],
+                    np.asarray(dest_probs[idx]), agent_idx=sdc,
+                ))
+    return paths
 
 
 def test_step_device(cfg: ExperimentConfig, model, params, batch, key):

@@ -71,6 +71,7 @@ def tf_cfg_to_sim(tf) -> TeacherForcingConfig:
         step_horizon_decrease_per_epoch=tf.step_horizon_decrease_per_epoch,
         prob_forcing_agent=tf.prob_forcing_agent,
         prob_forcing_agent_decrease_per_epoch=tf.prob_forcing_agent_decrease_per_epoch,
+        gt_sdc=getattr(tf, "gt_sdc", False),
     )
 
 

@@ -131,8 +131,12 @@ def main(argv: Optional[List[str]] = None):
     from .utils.logging import MetricsLogger, Profiler
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # rank-0-only host work in multi-process runs: checkpoint/submission/
+    # metrics files and stdout (ref waymo_motion.py:666,734,951-953, run.py:12)
+    is_main = jax.process_index() == 0
+
     key = jax.random.PRNGKey(cfg.seed)
-    logger = MetricsLogger(run_dir)
+    logger = MetricsLogger(run_dir) if is_main else None
     prof = Profiler()
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
 
@@ -153,23 +157,36 @@ def main(argv: Optional[List[str]] = None):
     key, k_init = jax.random.split(key)
     model, params = O.init_params(cfg, k_init, init_batch_j)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"model initialized: {n_params/1e6:.2f}M params, run_dir={run_dir}")
+    if is_main:
+        print(f"model initialized: {n_params/1e6:.2f}M params, run_dir={run_dir}")
 
     if action == "fit":
         mesh = make_mesh()
         tx = make_optimizer(cfg, params, steps_per_epoch)
         opt_state = tx.init(params)
+        # full trainer state resume (ref run.py:33-47): params, optimizer,
+        # epoch, global step and PRNG key — epoch-scheduled teacher forcing
+        # and the LR schedule continue exactly where they stopped.
+        start_epoch, global_step = 0, 0
         if resume and ckpt.exists("last"):
-            restored = ckpt.restore("last", {"params": params, "opt_state": opt_state})
+            restored = ckpt.restore(
+                "last",
+                {"params": params, "opt_state": opt_state,
+                 "epoch": np.asarray(0), "global_step": np.asarray(0),
+                 "rng": np.asarray(key)},
+            )
             params, opt_state = restored["params"], restored["opt_state"]
-            print("resumed from last checkpoint")
+            start_epoch = int(restored["epoch"])
+            global_step = int(restored["global_step"])
+            key = jnp.asarray(restored["rng"])
+            if is_main:
+                print(f"resumed from last checkpoint at epoch {start_epoch}, step {global_step}")
         step_fn = make_jitted_dp_train_step(cfg, model, tx, mesh)
         params = jax.device_put(params, NamedSharding(mesh, P()))
         opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
         validator = Validator(cfg, model, mesh=mesh)
 
-        global_step = 0
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             for batch_np in train_iter_fn():
                 batch = {
                     k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("data")))
@@ -178,8 +195,8 @@ def main(argv: Optional[List[str]] = None):
                 }
                 key, k_step = jax.random.split(key)
                 with prof.phase("train_step"):
-                    params, opt_state, metrics = step_fn(params, opt_state, batch, k_step)
-                if global_step % 50 == 0:
+                    params, opt_state, metrics = step_fn(params, opt_state, batch, k_step, epoch)
+                if global_step % 50 == 0 and is_main:
                     m = {k: float(v) for k, v in metrics.items()}
                     logger.log(m, global_step)
                     print(f"epoch {epoch} step {global_step} loss={m['loss']:.4f}")
@@ -194,12 +211,28 @@ def main(argv: Optional[List[str]] = None):
                 with prof.phase("val_step"):
                     validator.step(params, batch_np, k_val)
             val_metrics = validator.epoch_end()
-            logger.log(val_metrics, global_step, phase="val")
-            state = {"params": params, "opt_state": opt_state}
-            ckpt.save_last(state, global_step, val_metrics)
-            ckpt.save_if_best(state, global_step, val_metrics)
-            print(f"epoch {epoch} val/loss={val_metrics['val/loss']:.4f}")
-        logger.log(prof.summary(), global_step, phase="profile")
+            # render prediction/attention videos + dest-prob images for the
+            # first n_video_batch val batches (ref waymo_motion.py:666-680)
+            if is_main and cfg.n_video_batch > 0:
+                from .evaluation_loop import render_validation_media
+
+                key, k_vis = jax.random.split(key)
+                media = render_validation_media(
+                    cfg, model, params, val_iter_fn, k_vis,
+                    out_dir=os.path.join(run_dir, "videos", f"epoch{epoch}"),
+                )
+                if media:
+                    print(f"validation media written: {len(media)} files")
+            if is_main:
+                logger.log(val_metrics, global_step, phase="val")
+                state = {"params": params, "opt_state": opt_state,
+                         "epoch": np.asarray(epoch + 1), "global_step": np.asarray(global_step),
+                         "rng": np.asarray(key)}
+                ckpt.save_last(state, global_step, val_metrics)
+                ckpt.save_if_best(state, global_step, val_metrics)
+                print(f"epoch {epoch} val/loss={val_metrics['val/loss']:.4f}")
+        if is_main:
+            logger.log(prof.summary(), global_step, phase="profile")
 
     elif action == "validate":
         from .eval.submission import SubWOMD
@@ -224,15 +257,26 @@ def main(argv: Optional[List[str]] = None):
             key, k_val = jax.random.split(key)
             validator.step(params, batch_np, k_val)
         val_metrics = validator.epoch_end()
-        logger.log(val_metrics, 0, phase="val")
-        for k, v in sorted(val_metrics.items()):
-            if "/" in k and "waymo_metrics" not in k:
-                print(f"{k}: {v:.4f}")
-        if write_subs:
-            for p in sub_rr.save_sub_files(os.path.join(run_dir, "submission")):
-                print(f"submission written: {p}")
-            for p in sub_jf.save_sub_files(os.path.join(run_dir, "submission")):
-                print(f"submission written: {p}")
+        if is_main:
+            logger.log(val_metrics, 0, phase="val")
+            for k, v in sorted(val_metrics.items()):
+                if "/" in k and "waymo_metrics" not in k:
+                    print(f"{k}: {v:.4f}")
+            if cfg.n_video_batch > 0:
+                from .evaluation_loop import render_validation_media
+
+                key, k_vis = jax.random.split(key)
+                media = render_validation_media(
+                    cfg, model, params, val_iter_fn, k_vis,
+                    out_dir=os.path.join(run_dir, "videos"),
+                )
+                for p in media:
+                    print(f"media written: {p}")
+            if write_subs:
+                for p in sub_rr.save_sub_files(os.path.join(run_dir, "submission")):
+                    print(f"submission written: {p}")
+                for p in sub_jf.save_sub_files(os.path.join(run_dir, "submission")):
+                    print(f"submission written: {p}")
 
     elif action == "test":
         # Test split: no GT — prior latent + predicted goal, submission files
@@ -277,9 +321,10 @@ def main(argv: Optional[List[str]] = None):
                     "scenario_id", [str(s) for s in batch_np.get("episode_idx", range(n_scene))]
                 ),
             )
-        paths = sub.save_sub_files(os.path.join(run_dir, "submission"))
-        for p in paths:
-            print(f"submission written: {p}")
+        if is_main:
+            paths = sub.save_sub_files(os.path.join(run_dir, "submission"))
+            for p in paths:
+                print(f"submission written: {p}")
     else:
         raise SystemExit(f"unknown action {action}")
 

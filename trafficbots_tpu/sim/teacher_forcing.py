@@ -24,6 +24,9 @@ class TeacherForcingConfig:
     step_horizon_decrease_per_epoch: int = struct.field(pytree_node=False, default=0)
     prob_forcing_agent: float = struct.field(pytree_node=False, default=0.0)
     prob_forcing_agent_decrease_per_epoch: float = struct.field(pytree_node=False, default=0.0)
+    # what-if prediction: SDC (agent 0) forced to GT every step
+    # (ref teacher_forcing.py:69-72)
+    gt_sdc: bool = struct.field(pytree_node=False, default=False)
 
 
 # standard eval configs, ref configs/model/traffic_bots.yaml:232-238
@@ -65,17 +68,26 @@ def teacher_forcing_mask(
     if cfg.step_warm_start >= 0:
         mask = mask | (as_valid & (step_idx <= cfg.step_warm_start))
 
-    step_horizon = cfg.step_horizon - cfg.step_horizon_decrease_per_epoch * current_epoch
-    if step_horizon > 0:
+    # epoch-dependent schedules: `current_epoch` may be a traced scalar (the
+    # train step passes it as a device value so resuming at epoch k does not
+    # recompile); the config fields stay static, so the branches below are
+    # resolved at trace time while the *amounts* are computed on device.
+    # step_idx >= 0, so `step_idx < h` is all-False once h <= 0 — no extra
+    # guard needed when the schedule decays past zero.
+    if cfg.step_horizon > 0:
+        step_horizon = cfg.step_horizon - cfg.step_horizon_decrease_per_epoch * current_epoch
         mask = mask | (as_valid & (step_idx < step_horizon))
 
-    prob = cfg.prob_forcing_agent - cfg.prob_forcing_agent_decrease_per_epoch * current_epoch
-    if prob > 0:
+    if cfg.prob_forcing_agent > 0:
         assert key is not None, "prob_forcing_agent > 0 requires a PRNG key"
+        prob = jnp.clip(
+            cfg.prob_forcing_agent - cfg.prob_forcing_agent_decrease_per_epoch * current_epoch,
+            0.0, 1.0,
+        )
         forced_agent = jax.random.bernoulli(key, prob, as_valid[:, 0].shape)
         mask = mask | (forced_agent[:, None, :] & as_valid)
 
-    if gt_sdc:
+    if gt_sdc or cfg.gt_sdc:
         mask = mask.at[:, :, 0].set(mask[:, :, 0] | as_valid[:, :, 0])
 
     return mask

@@ -23,8 +23,9 @@ from .. import orchestration as O
 def _is_goal_predictor_path(path: Tuple[str, ...]) -> bool:
     """Matches the reference's `"goal_predictor" in name` split
     (waymo_motion.py:958-962); in our tree the goal/dest predictor lives
-    under goal_manager/predictor."""
-    return any("predictor" in p for p in path)
+    exactly at goal_manager/predictor — anchor on both components so a
+    future module merely named "*predictor*" cannot land in this LR group."""
+    return "goal_manager" in path and "predictor" in path
 
 
 def make_lr_schedule(cfg: ExperimentConfig, steps_per_epoch: int) -> optax.Schedule:
@@ -73,9 +74,13 @@ def make_train_step(
     reduces grads/metrics across that axis.
     """
 
-    def step(params, opt_state, batch, key):
+    def step(params, opt_state, batch, key, epoch=0):
+        """`epoch` drives the teacher-forcing schedules; it is a device
+        scalar so per-epoch decay (tf step_horizon / prob_forcing_agent,
+        ref teacher_forcing.py:57-66) needs no recompilation."""
+
         def loss_fn(p):
-            loss, metrics = O.training_step(cfg, model, p, batch, key)
+            loss, metrics = O.training_step(cfg, model, p, batch, key, current_epoch=epoch)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -98,15 +103,20 @@ def make_jitted_dp_train_step(cfg: ExperimentConfig, model, tx, mesh) -> Callabl
 
     inner = make_train_step(cfg, model, tx, axis_name="data")
 
-    def mapped(params, opt_state, batch, key):
+    def mapped(params, opt_state, batch, key, epoch):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        return inner(params, opt_state, batch, key)
+        return inner(params, opt_state, batch, key, epoch)
 
     sharded = shard_map(
         mapped,
         mesh=mesh,
-        in_specs=(P(), P(), P("data"), P()),
+        in_specs=(P(), P(), P("data"), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def step(params, opt_state, batch, key, epoch=0):
+        return jitted(params, opt_state, batch, key, jnp.asarray(epoch, jnp.int32))
+
+    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+    return step
