@@ -93,7 +93,10 @@ bool BoxesOverlap(const double b1[4][2], const double b2[4][2]) {
   return true;
 }
 
-double ApFromRecords(std::vector<PredRecord>& recs, int64_t n_objects) {
+// soft=true: extra non-missing guesses for an already-matched group are
+// skipped instead of counted as false positives (Soft mAP).
+double ApFromRecords(std::vector<PredRecord>& recs, int64_t n_objects,
+                     bool soft = false) {
   if (n_objects == 0) return 0.0;
   std::stable_sort(recs.begin(), recs.end(),
                    [](const PredRecord& a, const PredRecord& b) { return a.score > b.score; });
@@ -115,6 +118,8 @@ double ApFromRecords(std::vector<PredRecord>& recs, int64_t n_objects) {
       seen[gi] = 1;
       tp.push_back(1.0);
       fp.push_back(0.0);
+    } else if (r.is_match && soft) {
+      continue;
     } else {
       tp.push_back(0.0);
       fp.push_back(1.0);
@@ -151,8 +156,8 @@ struct BreakdownAcc {
 
 extern "C" {
 
-// out layout: [3 object types][n_cfg steps][5 metrics:
-//   min_ade, min_fde, miss_rate, overlap_rate, mAP]
+// out layout: [3 object types][n_cfg steps][6 metrics:
+//   min_ade, min_fde, miss_rate, overlap_rate, mAP, soft mAP]
 int motion_metrics_compute(
     const float* pred_traj, const float* pred_score, const float* gt_traj,
     const uint8_t* gt_valid, const int64_t* pgi, const uint8_t* pgi_mask,
@@ -322,20 +327,22 @@ int motion_metrics_compute(
   for (int ot = 0; ot < 3; ++ot) {
     for (int ci = 0; ci < n_cfg; ++ci) {
       BreakdownAcc& a = acc[ot * n_cfg + ci];
-      float* o = out + (ot * n_cfg + ci) * 5;
+      float* o = out + (ot * n_cfg + ci) * 6;
       double cnt = std::max<int64_t>(a.count, 1);
       o[0] = a.count ? (float)(a.ade_sum / cnt) : 0.f;
       o[1] = a.count ? (float)(a.fde_sum / cnt) : 0.f;
       o[2] = a.count ? (float)(a.miss_sum / cnt) : 0.f;
       o[3] = a.count ? (float)(a.overlap_sum / cnt) : 0.f;
-      double map_sum = 0;
+      double map_sum = 0, smap_sum = 0;
       int map_n = 0;
       for (int bkt = 0; bkt < kNumBuckets; ++bkt) {
         if (a.bucket_counts[bkt] == 0) continue;
         map_sum += ApFromRecords(a.records[bkt], a.bucket_counts[bkt]);
+        smap_sum += ApFromRecords(a.records[bkt], a.bucket_counts[bkt], true);
         map_n++;
       }
       o[4] = map_n ? (float)(map_sum / map_n) : 0.f;
+      o[5] = map_n ? (float)(smap_sum / map_n) : 0.f;
     }
   }
   return 0;

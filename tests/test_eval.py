@@ -134,6 +134,28 @@ def test_motion_metrics_bad_prediction_misses():
     assert out["mean_average_precision/TYPE_VEHICLE"] == 0.0
 
 
+def test_soft_map_ignores_duplicate_matches():
+    """All K guesses match the single GT: hard mAP counts the extra matches
+    as FPs, Soft mAP skips them (ref Waymo op soft-match semantics)."""
+    mm = MotionMetrics()
+    case = _perfect_case(n_agent=2, K=3)
+    # make every guess a perfect match (not just guess 0), and order scores
+    # so agent 0's duplicate matches rank between the two groups' TPs:
+    # hard mAP counts them as FPs at recall 0.5, soft mAP skips them
+    ptr = case["prediction_trajectory"]
+    case["prediction_trajectory"] = np.repeat(ptr[:, :, :1], 3, axis=2)
+    case["prediction_score"] = np.array(
+        [[[1.0, 0.9, 0.8], [0.5, 0.4, 0.3]]], np.float32
+    )
+    mm.update(**case)
+    out = mm.compute()
+    assert out["soft_mean_average_precision/TYPE_VEHICLE"] > 0.99
+    assert (
+        out["soft_mean_average_precision/TYPE_VEHICLE"]
+        > out["mean_average_precision/TYPE_VEHICLE"]
+    )
+
+
 def test_motion_metrics_noise_ordering():
     """More noise -> worse ADE."""
     outs = []

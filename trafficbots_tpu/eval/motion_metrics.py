@@ -203,7 +203,10 @@ class MotionMetrics:
                 group_counter = self._accumulate_scene(b, i, acc, group_counter)
 
         out: Dict[str, float] = {}
-        values = {m: [] for m in ("min_ade", "min_fde", "miss_rate", "overlap_rate", "mean_average_precision")}
+        values = {m: [] for m in (
+            "min_ade", "min_fde", "miss_rate", "overlap_rate",
+            "mean_average_precision", "soft_mean_average_precision",
+        )}
         for n in names:
             a = acc[n]
             out_ade = float(np.mean(a["ade"])) if a["ade"] else 0.0
@@ -211,16 +214,21 @@ class MotionMetrics:
             out_miss = float(np.mean(a["miss"])) if a["miss"] else 0.0
             out_ovl = float(np.mean(a["overlap"])) if a["overlap"] else 0.0
             out_map = self._mean_ap(a["pred_records"], a["bucket_counts"])
+            # Soft mAP: duplicate non-missing guesses for an already-matched
+            # object are ignored instead of counted as false positives
+            out_smap = self._mean_ap(a["pred_records"], a["bucket_counts"], soft=True)
             out[f"min_ade/{n}"] = out_ade
             out[f"min_fde/{n}"] = out_fde
             out[f"miss_rate/{n}"] = out_miss
             out[f"overlap_rate/{n}"] = out_ovl
             out[f"mean_average_precision/{n}"] = out_map
+            out[f"soft_mean_average_precision/{n}"] = out_smap
             values["min_ade"].append(out_ade)
             values["min_fde"].append(out_fde)
             values["miss_rate"].append(out_miss)
             values["overlap_rate"].append(out_ovl)
             values["mean_average_precision"].append(out_map)
+            values["soft_mean_average_precision"].append(out_smap)
 
         for m, vals in values.items():
             out[m] = float(np.mean(vals)) if vals else 0.0

@@ -84,7 +84,7 @@ class NativeMotionMetrics:
         meas = np.array([s.measurement_step for s in cfg.step_configurations], np.int32)
         lat = np.array([s.lateral_miss_threshold for s in cfg.step_configurations], np.float32)
         lon = np.array([s.longitudinal_miss_threshold for s in cfg.step_configurations], np.float32)
-        out = np.zeros(3 * n_cfg * 5, np.float32)
+        out = np.zeros(3 * n_cfg * 6, np.float32)
 
         rc = self.lib.motion_metrics_compute(
             pt, ps, gt, gv, pgi, pgm, ot,
@@ -95,10 +95,11 @@ class NativeMotionMetrics:
             meas, lat, lon, n_cfg, out,
         )
         assert rc == 0
-        out = out.reshape(3, n_cfg, 5)
+        out = out.reshape(3, n_cfg, 6)
 
         names = breakdown_names(cfg)
-        metric_names = ("min_ade", "min_fde", "miss_rate", "overlap_rate", "mean_average_precision")
+        metric_names = ("min_ade", "min_fde", "miss_rate", "overlap_rate",
+                        "mean_average_precision", "soft_mean_average_precision")
         result: Dict[str, float] = {}
         values = {m: [] for m in metric_names}
         for oi, ot_name in enumerate(("TYPE_VEHICLE", "TYPE_PEDESTRIAN", "TYPE_CYCLIST")):
@@ -113,5 +114,6 @@ class NativeMotionMetrics:
                 result[f"{m}/{ot_name}"] = float(out[oi, :, {
                     "min_ade": 0, "min_fde": 1, "miss_rate": 2,
                     "overlap_rate": 3, "mean_average_precision": 4,
+                    "soft_mean_average_precision": 5,
                 }[m]].mean())
         return result
