@@ -33,6 +33,16 @@ BASELINE_AGENT_STEPS_PER_SEC_2080TI = 25_000.0
 
 def main():
     import jax
+
+    # persistent compilation cache: the full-scale eval+train programs take
+    # minutes to compile over the tunnel; cached, a bench run is seconds
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from trafficbots_tpu.config import ExperimentConfig
@@ -41,15 +51,18 @@ def main():
     from trafficbots_tpu.data.synthetic import synthetic_episode_batch
     from trafficbots_tpu.sim.teacher_forcing import teacher_forcing_mask
 
-    n_scene = int(os.environ.get("BENCH_N_SCENE", "32"))
-    n_iter = int(os.environ.get("BENCH_N_ITER", "10"))
+    # batch 128: throughput rises with batch as the fixed per-program dispatch
+    # cost amortizes (measured 1.33M @ 32, 1.43M @ 64, 1.57M @ 128 on v5e)
+    n_scene = int(os.environ.get("BENCH_N_SCENE", "128"))
+    n_iter = int(os.environ.get("BENCH_N_ITER", "8"))
     cfg = ExperimentConfig(precision=os.environ.get("BENCH_PRECISION", "fp32"))
     batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
 
     def eval_rollout(params, batch, key):
-        pbatch = pre_processing(batch, cfg.model, training=True)
+        # val semantics (history/* views), matching the real validate path
+        pbatch = pre_processing(batch, cfg.model, training=False)
         feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
         goal_gt, goal_valid = O.get_gt_goal(
             cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
@@ -86,11 +99,42 @@ def main():
     n_steps = cfg.time_step_end - cfg.time_step_sim_start + 1
     agent_steps_per_sec = n_scene * cfg.data.n_agent * n_steps / dt
 
+    # ---- training-step throughput (forward + BPTT backward through the
+    # 90-step scan with per-step remat + Adam), the 5-days-on-6-GPUs path.
+    # Guarded so a train-path regression cannot zero out the headline metric.
+    train_ms = train_asps = -1.0
+    if os.environ.get("BENCH_TRAIN", "1").lower() in ("1", "true"):
+        try:
+            import optax
+
+            from trafficbots_tpu.training.train import make_optimizer, make_train_step
+
+            n_scene_t = int(os.environ.get("BENCH_TRAIN_N_SCENE", "8"))
+            tb_np = synthetic_episode_batch(cfg.data, n_scene=n_scene_t, seed=1)
+            tb = {k: jnp.asarray(v) for k, v in tb_np.items()}
+            tx = make_optimizer(cfg, params)
+            opt_state = tx.init(params)
+            tstep = jax.jit(make_train_step(cfg, model, tx))
+            p2, o2, m = tstep(params, opt_state, tb, key)
+            float(m["loss"])  # compile + sync
+            tt = []
+            for i in range(int(os.environ.get("BENCH_TRAIN_N_ITER", "5"))):
+                t0 = time.perf_counter()
+                p2, o2, m = tstep(p2, o2, tb, jax.random.fold_in(key, 100 + i))
+                float(m["loss"])  # D2H sync
+                tt.append(time.perf_counter() - t0)
+            train_ms = sorted(tt)[len(tt) // 2] * 1e3
+            train_asps = n_scene_t * cfg.data.n_agent * n_steps / (train_ms / 1e3)
+        except Exception:
+            pass  # keep the headline metric alive
+
     print(json.dumps({
         "metric": "rollout_agent_steps_per_sec_per_chip",
         "value": round(agent_steps_per_sec, 1),
         "unit": "agent-steps/s",
         "vs_baseline": round(agent_steps_per_sec / BASELINE_AGENT_STEPS_PER_SEC_2080TI, 3),
+        "train_step_ms": round(train_ms, 1),
+        "train_agent_steps_per_sec": round(train_asps, 1),
     }))
 
 

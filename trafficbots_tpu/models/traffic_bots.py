@@ -197,6 +197,26 @@ class TrafficBots(nn.Module):
         """
         return self.transformer_as2pl(None, tgt=map_feature, return_tgt_kv=True)
 
+    def precompute_add_feats(
+        self,
+        goal_feature: Optional[jnp.ndarray],
+        goal_valid: Optional[jnp.ndarray],
+        latent_sample: Optional[jnp.ndarray],
+        latent_valid: Optional[jnp.ndarray],
+    ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Hoist the step-invariant halves of the goal/latent injections:
+        both z-inputs (gathered goal feature, cached latent sample) are
+        constant across a rollout, so their 2-layer input MLPs run once per
+        episode instead of once per step. Eval-only (dropout must be off).
+        """
+        goal_pre = None
+        if goal_feature is not None and not self.add_goal.dummy:
+            goal_pre = self.add_goal.precompute_z(goal_feature, goal_valid)
+        latent_pre = None
+        if latent_sample is not None and not self.add_latent.dummy:
+            latent_pre = self.add_latent.precompute_z(latent_sample, latent_valid)
+        return goal_pre, latent_pre
+
     def policy_step(
         self,
         agent_valid: jnp.ndarray,  # [B, A]
@@ -213,6 +233,8 @@ class TrafficBots(nn.Module):
         need_weights: bool = False,
         deterministic: bool = True,
         map_kv=None,  # per-layer (k, v) from precompute_map_kv
+        goal_z_pre: Optional[jnp.ndarray] = None,  # from precompute_add_feats
+        latent_z_pre: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
         """One policy step. Ref traffic_bots.py:163-247 + action head.
 
@@ -235,8 +257,14 @@ class TrafficBots(nn.Module):
         )
 
         def add_goal_latent(x):
-            x = self.add_goal(x, agent_valid, goal_feature, goal_valid, deterministic=deterministic)
-            x = self.add_latent(x, agent_valid, latent_sample, agent_valid, deterministic=deterministic)
+            x = self.add_goal(
+                x, agent_valid, goal_feature, goal_valid,
+                deterministic=deterministic, z_pre=goal_z_pre,
+            )
+            x = self.add_latent(
+                x, agent_valid, latent_sample, agent_valid,
+                deterministic=deterministic, z_pre=latent_z_pre,
+            )
             return x
 
         if cfg.add_goal_latent_first:

@@ -56,6 +56,11 @@ class FusedNodeEncoder(nn.Module):
     d_feedforward: int
     dropout_p: float = 0.1
     block_pl: int = 8  # polylines per kernel program
+    # bf16 matmul operands inside the kernel (fp32 accumulation, layernorm/
+    # softmax stay fp32): the MXU runs bf16 at ~4x the fp32 rate and this
+    # encoder is matmul-bound. Costs ~3 decimal digits on the node features;
+    # quality metrics are insensitive (see PERF.md A/B).
+    matmul_bf16: bool = False
 
     def setup(self):
         L, D, F = self.n_layer, self.d_model, self.d_feedforward
@@ -154,7 +159,8 @@ class FusedNodeEncoder(nn.Module):
             self.w1, self.b1, self.w2, self.b2,
         )
         kernel = functools.partial(
-            _node_kernel, n_layer=self.n_layer, n_head=self.n_head, n_node=N, blk=BLK
+            _node_kernel, n_layer=self.n_layer, n_head=self.n_head, n_node=N, blk=BLK,
+            bf16=self.matmul_bf16,
         )
         w_specs = [
             pl.BlockSpec(w.shape, lambda b, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
@@ -182,12 +188,16 @@ def _node_kernel(
     ln1_s, ln1_b, lnt_s, lnt_b, ln2_s, ln2_b,
     wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
     o_ref,
-    *, n_layer: int, n_head: int, n_node: int, blk: int,
+    *, n_layer: int, n_head: int, n_node: int, blk: int, bf16: bool = False,
 ):
     D = x_ref.shape[-1]
     R = blk * n_node
     d_head = D // n_head
     scale = 1.0 / math.sqrt(d_head)
+    mm_t = jnp.bfloat16 if bf16 else jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a.astype(mm_t), b.astype(mm_t), preferred_element_type=jnp.float32)
 
     x = x_ref[:].reshape(R, D)
     vf = v_ref[:].reshape(R, 1)  # 1.0 = valid node
@@ -214,26 +224,27 @@ def _node_kernel(
     for l in range(n_layer):
         src2 = _ln(x, ln1_s[l], ln1_b[l])
         tgtn = _ln(x0, lnt_s[l], lnt_b[l])
-        q = jnp.dot(src2, wq[l], preferred_element_type=jnp.float32) + bq[l]
-        k = jnp.dot(tgtn, wk[l], preferred_element_type=jnp.float32) + bk[l]
-        v = jnp.dot(tgtn, wv[l], preferred_element_type=jnp.float32) + bv[l]
+        q = mm(src2, wq[l]) + bq[l]
+        k = mm(tgtn, wk[l]) + bk[l]
+        v = mm(tgtn, wv[l]) + bv[l]
         heads = []
         for h in range(n_head):
             sl = slice(h * d_head, (h + 1) * d_head)
             logits = jax.lax.dot_general(
-                q[:, sl], k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+                q[:, sl].astype(mm_t), k[:, sl].astype(mm_t),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             logits = logits * scale + use_mask * _NEG
             attn = jax.nn.softmax(logits, axis=-1)
-            heads.append(jnp.dot(attn, v[:, sl], preferred_element_type=jnp.float32))
+            heads.append(mm(attn, v[:, sl]))
         a = jnp.concatenate(heads, axis=-1)
-        a = jnp.dot(a, wo[l], preferred_element_type=jnp.float32) + bo[l]
+        a = mm(a, wo[l]) + bo[l]
         a = a * (1.0 - nv)
         x = x + a
         src2 = _ln(x, ln2_s[l], ln2_b[l])
-        f = jnp.maximum(jnp.dot(src2, w1[l], preferred_element_type=jnp.float32) + b1[l], 0.0)
-        f = jnp.dot(f, w2[l], preferred_element_type=jnp.float32) + b2[l]
+        f = jnp.maximum(mm(src2, w1[l]) + b1[l], 0.0)
+        f = mm(f, w2[l]) + b2[l]
         x = x + f
         x = x * vf  # zero invalid rows (per-layer masking of the reference)
 

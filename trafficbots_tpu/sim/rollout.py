@@ -231,6 +231,23 @@ def rollout(
     # n_pl=1024 tokens vs n_agent=64 queries).
     map_kv = model_apply(method="precompute_map_kv", map_feature=features["map_feature"])
 
+    # goal/latent injection input MLPs hoisted out of the scan (eval only —
+    # in training their dropout must stay per-step). The z-inputs are
+    # step-invariant; the validity masks below are supersets of every
+    # per-step mask (goal_valid only shrinks, agent validity is bounded by
+    # ever-valid | frame-0), and invalid rows are re-masked downstream in
+    # AddLatentGoal, so the hoist is exact.
+    goal_z_pre = latent_z_pre = None
+    if not training and not update_goal and not mcfg.resample_latent:
+        ever_valid = jnp.any(features["agent_valid"], axis=1) | agent0.valid
+        goal_z_pre, latent_z_pre = model_apply(
+            method="precompute_add_feats",
+            goal_feature=goal_feature_static,
+            goal_valid=goal_valid,
+            latent_sample=latent_sample,
+            latent_valid=ever_valid,
+        )
+
     hidden0 = jnp.zeros((mcfg.agent_temporal.num_layers, B, A, mcfg.hidden_dim))
     carry0 = RolloutCarry(
         agent=agent0,
@@ -361,6 +378,8 @@ def rollout(
             agent_type=features["agent_type"],
             need_weights=collect_attention,
             deterministic=not training,
+            goal_z_pre=goal_z_pre,
+            latent_z_pre=latent_z_pre,
             rngs=rngs,
         )
 
