@@ -115,6 +115,13 @@ setup_reference()
 # torch -> numpy/flax transfer helpers
 # ---------------------------------------------------------------------------
 
+class AttrDict(dict):
+    """dict with attribute access — stands in for omegaconf.DictConfig when
+    a reference module both unpacks (**cfg) and attribute-reads (cfg.x)."""
+
+    __getattr__ = dict.__getitem__
+
+
 def t2n(x):
     return x.detach().cpu().numpy()
 
@@ -200,18 +207,20 @@ def tf_block_params(ref_block, norm_first: bool):
 
 
 def _gru_gates(w_ih, w_hh, b_ih, b_hh, h):
-    """Split torch GRU packed weights (r,z,n order) and build flax GRUCell params."""
-    W_ir, W_iz, W_in = w_ih[:h], w_ih[h : 2 * h], w_ih[2 * h :]
-    W_hr, W_hz, W_hn = w_hh[:h], w_hh[h : 2 * h], w_hh[2 * h :]
-    b_ir, b_iz, b_in = b_ih[:h], b_ih[h : 2 * h], b_ih[2 * h :]
-    b_hr, b_hz, b_hn = b_hh[:h], b_hh[h : 2 * h], b_hh[2 * h :]
+    """torch GRU packed weights (r,z,n order) -> our FusedGRUCell params.
+
+    FusedGRUCell keeps the projections concatenated: w_i [in, 3h], w_h
+    [h, 3h], b_i = b_ih + (b_hr, b_hz, 0) merged for r/z (the hidden-side r/z
+    biases fold into the input-side ones since the pre-activations are
+    summed), and a separate b_hn (applied inside the r* gate product).
+    """
+    b_i = b_ih.copy()
+    b_i[: 2 * h] += b_hh[: 2 * h]
     return {
-        "ir": {"kernel": W_ir.T, "bias": b_ir + b_hr},
-        "hr": {"kernel": W_hr.T},
-        "iz": {"kernel": W_iz.T, "bias": b_iz + b_hz},
-        "hz": {"kernel": W_hz.T},
-        "in": {"kernel": W_in.T, "bias": b_in},
-        "hn": {"kernel": W_hn.T, "bias": b_hn},
+        "w_i": w_ih.T,
+        "w_h": w_hh.T,
+        "b_i": b_i,
+        "b_hn": b_hh[2 * h :],
     }
 
 
