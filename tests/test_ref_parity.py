@@ -140,6 +140,64 @@ def test_attention_cross_parity():
     np.testing.assert_allclose(_np(o), t2n(r), atol=ATOL)
 
 
+def test_attention_knn_parity():
+    """Per-src KNN targets (tgt [B, S, T, d]). Ref attention.py:117-124."""
+    ref, ours, params = _mk_attention()
+    rng = np.random.RandomState(27)
+    B, S, T = 2, 6, 5
+    src = rng.randn(B, S, 32).astype(np.float32)
+    tgt = rng.randn(B, S, T, 32).astype(np.float32)
+    pad = rng.rand(B, S, T) > 0.4
+    pad[0, 2] = True  # all targets invalid for one src token -> NaN guard
+    r, rw = ref(torch.from_numpy(src), torch.from_numpy(tgt),
+                tgt_padding_mask=torch.from_numpy(pad), need_weights=True)
+    o, ow = ours.apply({"params": params}, jnp.asarray(src), tgt=jnp.asarray(tgt),
+                       tgt_padding_mask=jnp.asarray(pad), need_weights=True)
+    np.testing.assert_allclose(_np(o), t2n(r), atol=ATOL)
+    np.testing.assert_allclose(_np(ow), t2n(rw), atol=ATOL)
+    assert np.isfinite(_np(o)).all()
+
+
+@pytest.mark.parametrize("norm_first", [True, False])
+@pytest.mark.parametrize("with_decoder_tgt", [False, True])
+def test_transformer_decoder_self_attn_parity(norm_first, with_decoder_tgt):
+    """decoder_self_attn sublayer (ref transformer.py:120-184)."""
+    from models.modules.transformer import TransformerBlock as RefBlock
+    from trafficbots_tpu.models.modules import TransformerBlock
+
+    ref = RefBlock(d_model=32, n_head=4, d_feedforward=64, dropout_p=0.1,
+                   n_layer=1, norm_first=norm_first, decoder_self_attn=True).eval()
+    ours = TransformerBlock(d_model=32, n_head=4, d_feedforward=64, dropout_p=0.1,
+                            n_layer=1, norm_first=norm_first, decoder_self_attn=True)
+    layer = ref.layers[0]
+    params = {"layer0": tf_layer_params(layer, norm_first)}
+    params["layer0"]["attn_src"] = attention_params(layer.attn_src)
+    params["layer0"]["norm_src"] = {
+        "scale": t2n(layer.norm_src.weight), "bias": t2n(layer.norm_src.bias),
+    }
+
+    rng = np.random.RandomState(28)
+    src = rng.randn(2, 6, 32).astype(np.float32)
+    src_pad = rng.rand(2, 6) > 0.7
+    tgt = rng.randn(2, 9, 32).astype(np.float32)
+    tgt_pad = rng.rand(2, 9) > 0.5
+    kw_ref, kw_ours = {}, {}
+    if with_decoder_tgt:
+        dt = rng.randn(2, 4, 32).astype(np.float32)
+        dt_pad = rng.rand(2, 4) > 0.5
+        kw_ref = dict(decoder_tgt=torch.from_numpy(dt),
+                      decoder_tgt_padding_mask=torch.from_numpy(dt_pad))
+        kw_ours = dict(decoder_tgt=jnp.asarray(dt),
+                       decoder_tgt_padding_mask=jnp.asarray(dt_pad))
+
+    r, _ = ref(torch.from_numpy(src.copy()), src_padding_mask=torch.from_numpy(src_pad),
+               tgt=torch.from_numpy(tgt), tgt_padding_mask=torch.from_numpy(tgt_pad), **kw_ref)
+    o, _ = ours.apply({"params": params}, jnp.asarray(src),
+                      src_padding_mask=jnp.asarray(src_pad), tgt=jnp.asarray(tgt),
+                      tgt_padding_mask=jnp.asarray(tgt_pad), **kw_ours)
+    np.testing.assert_allclose(_np(o), t2n(r), atol=ATOL)
+
+
 # ---------------------------------------------------------------------------
 # TransformerBlock (pre/post norm, FFN / DenseTNT variants)
 # ---------------------------------------------------------------------------

@@ -135,6 +135,13 @@ class Attention(nn.Module):
             k = dense("k_proj")(kv_in)
             v = dense("v_proj")(kv_in)
 
+        if k.ndim == 4:
+            # per-src KNN targets: tgt [B, S, T, d], mask [B, S, T]
+            # (ref attention.py:117-124,135-138)
+            return self._knn_attention(
+                q, k, v, tgt_padding_mask, attn_mask, need_weights, deterministic
+            )
+
         B, S = src.shape[:2]
         T = k.shape[1]
 
@@ -199,6 +206,47 @@ class Attention(nn.Module):
             return out, w
         return out, None
 
+    def _knn_attention(
+        self, q, k, v, tgt_padding_mask, attn_mask, need_weights, deterministic
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Per-src-token targets: q [B, S, D], k/v [B, S, T, D], masks [B, S, T].
+
+        Ref attention.py:117-124 (KNN attention) + the same NaN guard.
+        """
+        B, S, T, D = k.shape
+        d_head = self.d_model // self.n_head
+
+        invalid = tgt_padding_mask
+        if attn_mask is not None:
+            invalid = attn_mask if invalid is None else (invalid | attn_mask)
+        no_valid_tgt = None if invalid is None else jnp.all(invalid, axis=-1)  # [B, S]
+
+        qh = q.reshape(B, S, self.n_head, d_head)
+        kh = k.reshape(B, S, T, self.n_head, d_head)
+        vh = v.reshape(B, S, T, self.n_head, d_head)
+        logits = jnp.einsum("bshd,bsthd->bhst", qh, kh).astype(jnp.float32)
+        if invalid is not None:
+            use_mask = invalid & (~no_valid_tgt[..., None])
+            logits = jnp.where(use_mask[:, None], -jnp.inf, logits)
+        attn = jax.nn.softmax(logits / np.sqrt(d_head), axis=-1)
+        if self.dropout_p > 0:
+            attn = nn.Dropout(self.dropout_p, name="attn_do")(attn, deterministic=deterministic)
+        out = jnp.einsum("bhst,bsthd->bshd", attn.astype(vh.dtype), vh).reshape(B, S, self.d_model)
+        out_proj = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj", dtype=self.compute_dtype)
+        return _finish_attention(out_proj, out, no_valid_tgt, attn, q.dtype, need_weights)
+
+
+def _finish_attention(out_proj, out, no_valid_tgt, attn, src_dtype, need_weights):
+    out = out_proj(out).astype(src_dtype)
+    if no_valid_tgt is not None:
+        out = jnp.where(no_valid_tgt[..., None], 0.0, out)
+    if need_weights:
+        w = jnp.mean(attn, axis=1)
+        if no_valid_tgt is not None:
+            w = jnp.where(no_valid_tgt[..., None], 0.0, w)
+        return out, w
+    return out, None
+
 
 class TransformerCrossAttention(nn.Module):
     """One (pre/post-norm) cross-attention layer. Ref transformer.py:98-240."""
@@ -210,6 +258,7 @@ class TransformerCrossAttention(nn.Module):
     activation: str = "relu"
     norm_first: bool = True
     bias: bool = True
+    decoder_self_attn: bool = False  # self-attn sublayer before the cross-attn
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -225,6 +274,8 @@ class TransformerCrossAttention(nn.Module):
         tgt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         return_tgt_kv: bool = False,
         allow_fused: bool = True,
+        decoder_tgt: Optional[jnp.ndarray] = None,
+        decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         act = _activation(self.activation)
         attn = Attention(
@@ -238,6 +289,37 @@ class TransformerCrossAttention(nn.Module):
             # invariant) target, nothing else
             tgt_n = nn.LayerNorm(epsilon=1e-5, name="norm_tgt")(tgt) if self.norm_first else tgt
             return attn(tgt_n, tgt=None, return_kv=True)
+
+        if self.decoder_self_attn:
+            # transformer-decoder self-attention sublayer (ref :161-184)
+            attn_src = Attention(
+                d_model=self.d_model, n_head=self.n_head, dropout_p=self.dropout_p,
+                bias=self.bias, compute_dtype=self.compute_dtype, name="attn_src",
+            )
+            do_src = dropout("do_src")
+            norm_src = nn.LayerNorm(epsilon=1e-5, name="norm_src")
+            if self.norm_first:
+                _s = norm_src(src)
+                if decoder_tgt is None:
+                    _s, _ = attn_src(_s, tgt_padding_mask=src_padding_mask,
+                                     deterministic=deterministic, allow_fused=allow_fused)
+                else:
+                    # the reference applies the SAME norm_src to decoder_tgt
+                    _s, _ = attn_src(_s, tgt=norm_src(decoder_tgt),
+                                     tgt_padding_mask=decoder_tgt_padding_mask,
+                                     deterministic=deterministic, allow_fused=allow_fused)
+                src = src + (do_src(_s, deterministic=deterministic) if do_src else _s)
+            else:
+                if decoder_tgt is None:
+                    _s, _ = attn_src(src, tgt_padding_mask=src_padding_mask,
+                                     deterministic=deterministic, allow_fused=allow_fused)
+                else:
+                    _s, _ = attn_src(src, tgt=decoder_tgt,
+                                     tgt_padding_mask=decoder_tgt_padding_mask,
+                                     deterministic=deterministic, allow_fused=allow_fused)
+                src = norm_src(
+                    src + (do_src(_s, deterministic=deterministic) if do_src else _s)
+                )
 
         if tgt is None and tgt_kv is None:
             tgt_padding_mask = src_padding_mask
@@ -299,6 +381,7 @@ class TransformerBlock(nn.Module):
     norm_first: bool = True
     bias: bool = True
     out_layernorm: bool = False
+    decoder_self_attn: bool = False
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -314,12 +397,15 @@ class TransformerBlock(nn.Module):
         tgt_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,  # per layer
         return_tgt_kv: bool = False,
         allow_fused: bool = True,
+        decoder_tgt: Optional[jnp.ndarray] = None,
+        decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         layers = [
             TransformerCrossAttention(
                 d_model=self.d_model, n_head=self.n_head, d_feedforward=self.d_feedforward,
                 dropout_p=self.dropout_p, activation=self.activation, norm_first=self.norm_first,
-                bias=self.bias, compute_dtype=self.compute_dtype, name=f"layer{i}",
+                bias=self.bias, decoder_self_attn=self.decoder_self_attn,
+                compute_dtype=self.compute_dtype, name=f"layer{i}",
             )
             for i in range(self.n_layer)
         ]
@@ -335,6 +421,8 @@ class TransformerBlock(nn.Module):
                 need_weights=need_weights, deterministic=deterministic,
                 tgt_kv=None if tgt_kv is None else tgt_kv[i],
                 allow_fused=allow_fused,
+                decoder_tgt=decoder_tgt,
+                decoder_tgt_padding_mask=decoder_tgt_padding_mask,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(epsilon=1e-5, name="out_ln")(src)
