@@ -98,7 +98,11 @@ def _install_stubs():
                 return self.update(*a, **kw)
 
         tm.Metric = Metric
+        tm_metric = types.ModuleType("torchmetrics.metric")
+        tm_metric.Metric = Metric
+        tm.metric = tm_metric
         sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.metric"] = tm_metric
 
 
 def setup_reference():

@@ -13,6 +13,8 @@ import numpy as np
 import pytest
 
 wod = pytest.importorskip("waymo_open_dataset")
+if getattr(wod, "_is_stub", False):  # installed by test_ref_parity_womd.py
+    pytest.skip("waymo_open_dataset is a test stub", allow_module_level=True)
 
 import tensorflow as tf  # noqa: E402
 from google.protobuf import text_format  # noqa: E402
