@@ -911,6 +911,67 @@ def test_goal_predictor_parity():
     np.testing.assert_allclose(_np(od.stddev), t2n(rd.stddev), atol=ATOL)
 
 
+def test_multi_categorical_parity():
+    from models.modules.distributions import MultiCategorical as RefMC
+    from trafficbots_tpu.distributions import MultiCategorical
+
+    rng = np.random.RandomState(33)
+    B, A, n_cat, n_class = 2, 4, 2, 8
+    probs = rng.rand(B, A, n_cat, n_class).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    ref = RefMC(probs=torch.from_numpy(probs))
+    ours = MultiCategorical(probs=jnp.asarray(probs))
+
+    # deterministic sample: flattened one-hot of per-cat argmax
+    np.testing.assert_array_equal(
+        _np(ours.sample(jax.random.PRNGKey(0), True)), t2n(ref.sample(True))
+    )
+    # log_prob of a flattened one-hot sample
+    idx = rng.randint(0, n_class, size=(B, A, n_cat))
+    sample = np.eye(n_class, dtype=np.float32)[idx].reshape(B, A, n_cat * n_class)
+    np.testing.assert_allclose(
+        _np(ours.log_prob(jnp.asarray(sample))),
+        t2n(ref.log_prob(torch.from_numpy(sample))),
+        atol=ATOL,
+    )
+    # KL between two MultiCategoricals (BalancedKL building block)
+    from trafficbots_tpu.distributions import kl_multi_categorical
+
+    probs2 = rng.rand(B, A, n_cat, n_class).astype(np.float32)
+    probs2 /= probs2.sum(-1, keepdims=True)
+    ref2 = RefMC(probs=torch.from_numpy(probs2))
+    from torch.distributions import kl_divergence
+
+    r_kl = kl_divergence(ref.distribution, ref2.distribution)
+    o_kl = kl_multi_categorical(ours, MultiCategorical(probs=jnp.asarray(probs2)))
+    np.testing.assert_allclose(_np(o_kl), t2n(r_kl), atol=ATOL)
+
+
+def test_full_cov_gaussian_parity():
+    from models.modules.distributions import Gaussian as RefGaussian
+    from trafficbots_tpu.distributions import Gaussian
+
+    rng = np.random.RandomState(34)
+    B, A, d = 2, 3, 4
+    mean = rng.randn(B, A, d).astype(np.float32)
+    m = rng.randn(B, A, d, d).astype(np.float32) * 0.3
+    tril = np.tril(m)
+    idx = np.arange(d)
+    tril[..., idx, idx] = np.abs(tril[..., idx, idx]) + 0.5  # positive diagonal
+
+    ref = RefGaussian(torch.from_numpy(mean), torch.from_numpy(tril))
+    ours = Gaussian(mean=jnp.asarray(mean), tril=jnp.asarray(tril))
+    x = rng.randn(B, A, d).astype(np.float32)
+    np.testing.assert_allclose(
+        _np(ours.log_prob(jnp.asarray(x))),
+        t2n(ref.log_prob(torch.from_numpy(x))),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        _np(ours.sample(jax.random.PRNGKey(0), True)), t2n(ref.sample(True)), atol=ATOL
+    )
+
+
 def test_dest_categorical_parity():
     from models.modules.distributions import DestCategorical as RefDest
     from trafficbots_tpu.distributions import DestCategorical
