@@ -58,6 +58,24 @@ def test_kernel_matches_xla_path_with_pool():
     assert (np.asarray(pooled)[~vn] < -1e20).all()
 
 
+def test_hybrid_matches_xla_path_with_pool():
+    """encode_pooled_hybrid (XLA projections + Pallas score core) == XLA ref."""
+    x, valid = _data(seed=4)
+    fused = FusedNodeEncoder(d_model=D, n_head=H, n_layer=L, d_feedforward=F, dropout_p=0.0)
+    params = fused.init(jax.random.PRNGKey(2), x, valid)["params"]
+
+    out_nodes = fused.apply({"params": params}, x, valid)
+    ref_pooled = jnp.max(jnp.where(valid[..., None], out_nodes, -jnp.inf), axis=1)
+
+    pooled = fused.apply({"params": params}, x, valid, method="encode_pooled_hybrid")
+    assert pooled.shape == (BP, D)
+    vn = np.asarray(jnp.any(valid, axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(pooled)[vn], np.asarray(ref_pooled)[vn], rtol=1e-4, atol=1e-4
+    )
+    assert (np.asarray(pooled)[~vn] < -1e20).all()
+
+
 def test_dropout_path_runs_in_training():
     x, valid = _data(seed=4)
     fused = FusedNodeEncoder(d_model=D, n_head=H, n_layer=L, d_feedforward=F, dropout_p=0.2)

@@ -1,3 +1,6 @@
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """A/B the fused node kernel: fp32 vs bf16 matmuls, block sizes (scratch)."""
 import json
 import time

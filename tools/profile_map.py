@@ -1,3 +1,6 @@
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Decompose the map encoder cost on the real chip (scratch, for PERF.md)."""
 import json
 import time

@@ -4,6 +4,8 @@ Not part of the framework — a scratch profiling harness for PERF.md work.
 Times each stage of bench.py's eval_rollout separately: pre-processing, map
 encode, other encoders, latent, rollout scan.
 """
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import os
 import time

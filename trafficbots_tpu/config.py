@@ -90,6 +90,11 @@ class MapEncoderConfig:
     mlp_use_layernorm: bool = False
     # polylines per program in the fused node-encoder Pallas kernel
     fused_block_pl: int = 8
+    # "fused": the whole 3-layer stack + pool in one VMEM-resident kernel
+    # (fastest measured: 155 ms vs 290 hybrid vs 354 XLA at batch 128 —
+    # intermediate HBM round-trips dominate the alternatives);
+    # "hybrid": projections/FFN as big XLA matmuls + Pallas score core only
+    node_encoder_impl: str = "fused"
 
 
 @dataclass(frozen=True)
@@ -307,7 +312,13 @@ class ModelConfig:
     # use the fused Pallas attention also for the small-target in-scan blocks
     # (as2tl T=100, agent interaction T=64); the big-target as2pl (T=1024)
     # always uses it when eligible
-    fused_attention_small_t: bool = True
+    # measured round 2: the small-T kernels' launch overhead (90 steps x
+    # batch-sized grids) exceeds their VMEM savings -> XLA by default
+    fused_attention_small_t: bool = False
+    # store the per-episode as2pl K/V cache in bf16: the rollout re-reads it
+    # every step (batch x 1MB x 90 steps x n_layers of HBM traffic), and the
+    # attention math accumulates in fp32 either way
+    map_kv_bf16: bool = True
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96
     pose_pe_map: str = "pe_xy_yaw"

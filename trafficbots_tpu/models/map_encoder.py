@@ -94,9 +94,14 @@ class MapEncoder(nn.Module):
                     and (n_scene * n_pl) % stack.block_pl == 0
                 )
                 if fused_pool_ok:
-                    # ONE Pallas kernel: all layers + masked max-pool, VMEM-
-                    # resident (the map encoder dominates the eval profile)
-                    pooled = stack.encode_pooled(flat, flat_valid)
+                    # the map encoder dominates the eval profile; "hybrid"
+                    # runs projections/FFN as big XLA matmuls with a Pallas
+                    # kernel for just the per-polyline attention core,
+                    # "fused" keeps everything in one VMEM-resident kernel
+                    if self.cfg.node_encoder_impl == "hybrid":
+                        pooled = stack.encode_pooled_hybrid(flat, flat_valid)
+                    else:
+                        pooled = stack.encode_pooled(flat, flat_valid)
                     pooled_feature = pooled.reshape(n_scene, n_pl, self.hidden_dim)
                 else:
                     pooled_feature = None

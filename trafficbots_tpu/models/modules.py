@@ -99,7 +99,13 @@ class Attention(nn.Module):
     dropout_p: float = 0.0
     bias: bool = True
     compute_dtype: Dtype = jnp.float32
-    fused: bool = True  # use the Pallas fused core when eligible (TPU only)
+    # use the Pallas fused core when eligible (TPU only). The kernel keeps
+    # the [S, T] scores VMEM-resident, which wins when the XLA alternative
+    # materializes large logits (as2pl: T=1024, logits grow linearly with
+    # batch — fused 1.57M vs XLA 1.32M agent-steps/s at batch 128). For
+    # small-T in-scan blocks the launch overhead dominates instead — those
+    # call sites pass allow_fused=False via fused_attention_small_t.
+    fused: bool = True
 
     @nn.compact
     def __call__(
@@ -176,9 +182,15 @@ class Attention(nn.Module):
             from ..ops.fused_attention import fused_attention_core
 
             inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)
-            out = fused_attention_core(q, k, v, inv, self.n_head)
+            # bf16 K/V cache (map_kv_bf16): operands bf16, fp32 accumulation
+            q_in = q.astype(k.dtype) if k.dtype == jnp.bfloat16 else q
+            out = fused_attention_core(q_in, k, v, inv, self.n_head)
             attn = None
         else:
+            # a bf16 K/V cache is cast up AFTER the HBM load (XLA fuses the
+            # convert into the consumer, so the traffic saving is kept)
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
             q = q.reshape(B, S, self.n_head, d_head)
             kh = k.reshape(B, T, self.n_head, d_head)
             vh = v.reshape(B, T, self.n_head, d_head)

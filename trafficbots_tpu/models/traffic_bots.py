@@ -194,8 +194,16 @@ class TrafficBots(nn.Module):
         the as2pl cross-attention — computed once per episode instead of once
         per rollout step per layer (the dominant per-step matmul: 1024 tokens
         vs 64 agents). Returns a tuple of (k, v) per layer.
+
+        With cfg.map_kv_bf16 the cache is stored in bf16: every rollout step
+        re-reads it from HBM (batch x ~1 MB x n_layers), so halving it cuts
+        the scan's dominant memory traffic; the attention logits still
+        accumulate in fp32.
         """
-        return self.transformer_as2pl(None, tgt=map_feature, return_tgt_kv=True)
+        kv = self.transformer_as2pl(None, tgt=map_feature, return_tgt_kv=True)
+        if self.cfg.map_kv_bf16:
+            kv = tuple((k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)) for k, v in kv)
+        return kv
 
     def precompute_add_feats(
         self,

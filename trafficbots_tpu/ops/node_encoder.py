@@ -141,6 +141,70 @@ class FusedNodeEncoder(nn.Module):
             x = jnp.where(pad[..., None], 0.0, x)
         return x
 
+    # ------------------------------------------------------------ hybrid
+    def encode_pooled_hybrid(self, x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        """Hybrid eval path: layernorms + qkv/out projections + FFN as big
+        XLA matmuls over all polylines; ONLY the tiny per-polyline attention
+        (scores/softmax/AV) runs in a Pallas kernel (block-diagonal, VMEM-
+        resident scores). Same numbers as __call__ + masked max-pool.
+
+        Measured SLOWER than the monolithic kernel at full scale (290 vs
+        155 ms at batch 128): every layer round-trips ~10 x 335 MB of
+        intermediates through HBM, which costs more than the monolithic
+        kernel's serial per-grid chain saves. Kept as a selectable
+        implementation (map_encoder.node_encoder_impl) — it wins when VMEM
+        is too small for the full stack (bigger d_model / d_ff).
+        """
+        BP, N, D = x.shape
+        BLK = self.block_pl
+        assert BP % BLK == 0, f"n_scene*n_pl={BP} must be a multiple of {BLK}"
+        grid = BP // BLK
+        interpret = jax.default_backend() != "tpu"
+        pad = ~valid
+        no_valid = jnp.all(pad, axis=-1)  # [BP]
+        vf = valid.astype(jnp.float32)[..., None]
+
+        kernel = functools.partial(
+            _block_attn_kernel, n_head=self.n_head, n_node=N, blk=BLK,
+            bf16=self.matmul_bf16,
+        )
+
+        def attn_core(q, k, v):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((BP, N, D), jnp.float32),
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((BLK, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BLK, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BLK, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BLK, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((BLK, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(q, k, v, vf)
+
+        x = x.astype(jnp.float32)
+        x0 = x
+        for l in range(self.n_layer):
+            src2 = _ln(x, self.ln1_s[l], self.ln1_b[l])
+            tgtn = _ln(x0, self.lnt_s[l], self.lnt_b[l])
+            q = src2 @ self.wq[l] + self.bq[l]
+            k = tgtn @ self.wk[l] + self.bk[l]
+            v = tgtn @ self.wv[l] + self.bv[l]
+            a = attn_core(q, k, v)
+            a = a @ self.wo[l] + self.bo[l]
+            a = jnp.where(no_valid[:, None, None], 0.0, a)
+            x = x + a
+            src2 = _ln(x, self.ln2_s[l], self.ln2_b[l])
+            f = nn.relu(src2 @ self.w1[l] + self.b1[l])
+            f = f @ self.w2[l] + self.b2[l]
+            x = x + f
+            x = jnp.where(pad[..., None], 0.0, x)
+
+        x = jnp.where(pad[..., None], _NEG, x)
+        return jnp.max(x, axis=1)
+
     # --------------------------------------------------------------- Pallas
     def encode_pooled(self, x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """Fused eval path: [BP, N, D], [BP, N] -> pooled [BP, D] (masked max
@@ -181,6 +245,64 @@ class FusedNodeEncoder(nn.Module):
             valid.astype(jnp.float32)[..., None],
             *[w.astype(jnp.float32) for w in weights],
         )
+
+
+def _block_attn_kernel(
+    q_ref, k_ref, v_ref, vf_ref, o_ref, *, n_head: int, n_node: int, blk: int, bf16: bool
+):
+    """Score+softmax+AV core only, block-diagonal over `blk` polylines.
+
+    The hybrid node-encoder path (encode_pooled_hybrid) runs the layernorms,
+    qkv/out projections and FFN as big XLA matmuls over all 131k polylines
+    (MXU-perfect, fused elementwise) and calls this kernel just for the part
+    XLA does badly: 131k tiny [20, 20] attentions. Returns the concatenated
+    per-head mix BEFORE the output projection; rows whose polyline has no
+    valid node come out finite (mask lifted) and are zeroed by the caller
+    after the out-projection, exactly like models/modules.Attention.
+    """
+    D = q_ref.shape[-1]
+    R = blk * n_node
+    d_head = D // n_head
+    scale = 1.0 / math.sqrt(d_head)
+    mm_t = jnp.bfloat16 if bf16 else jnp.float32
+
+    q = q_ref[:].reshape(R, D)
+    k = k_ref[:].reshape(R, D)
+    v = v_ref[:].reshape(R, D)
+    vf = vf_ref[:].reshape(R, 1)
+    ones = jnp.ones((R, 1), jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    same = ((row // n_node) == (col // n_node)).astype(jnp.float32)
+    colv = jax.lax.dot_general(
+        ones, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    allowed = same * colv
+    row_has = jax.lax.dot_general(
+        allowed, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nv = 1.0 - jnp.minimum(row_has, 1.0)
+    use_mask = (1.0 - allowed) * (1.0 - nv)
+
+    heads = []
+    for h in range(n_head):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        logits = jax.lax.dot_general(
+            q[:, sl].astype(mm_t), k[:, sl].astype(mm_t),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale + use_mask * _NEG
+        attn = jax.nn.softmax(logits, axis=-1)
+        heads.append(
+            jnp.dot(attn.astype(mm_t), v[:, sl].astype(mm_t),
+                    preferred_element_type=jnp.float32)
+        )
+    o = jnp.concatenate(heads, axis=-1)
+    o_ref[:] = o.reshape(blk, n_node, D)
 
 
 def _node_kernel(
