@@ -186,7 +186,8 @@ class LatentEncoder(nn.Module):
             tgt=map_feature,
             tgt_padding_mask=~map_feature_valid,
             deterministic=deterministic,
-            allow_fused=False,  # episode encode: fused vs XLA measured neutral; XLA keeps this path simple
+            # fused: the XLA alternative materializes [B, H, S*A, n_pl]
+            # logits that scale with batch (measured win at batch 128)
         )
         x = x.reshape(n_scene, n_step, n_agent, d)
         # cross-attn to this step's traffic lights, per step
@@ -196,7 +197,6 @@ class LatentEncoder(nn.Module):
             tgt=tl_feature.reshape(n_scene * n_step, -1, d),
             tgt_padding_mask=~tl_feature_valid.reshape(n_scene * n_step, -1),
             deterministic=deterministic,
-            allow_fused=False,
         )
         x = x.reshape(n_scene, n_step, n_agent, d)
 

@@ -157,6 +157,6 @@ class MapEncoder(nn.Module):
         )(
             pl_feature, src_padding_mask=~pl_valid, tgt=pl_feature,
             tgt_padding_mask=~pl_valid, deterministic=deterministic,
-            allow_fused=False,  # fused vs XLA measured neutral here; XLA keeps this path simple
+            # fused: XLA's [B, H, 1024, 1024] logits scale with batch
         )
         return pl_feature, pl_valid

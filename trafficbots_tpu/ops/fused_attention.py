@@ -105,10 +105,16 @@ def _pallas_forward(q, k, v, invalid, n_head: int):
     B, S, D = q.shape
     T = k.shape[1]
     interpret = jax.default_backend() != "tpu"
-    # scenes per grid step: bounded by VMEM (k+v+scores per scene) and must
-    # divide the batch; measured neutral vs G=1 at full scale (the kernel is
-    # K/V-stream bound, not launch bound) — kept for fewer grid launches
-    G = next(g for g in (4, 2, 1) if B % g == 0)
+    # scenes per grid step: bounded by VMEM (q/k/v + fp32 scores + out per
+    # scene; ~16 MB scoped limit) and must divide the batch; beyond that,
+    # measured neutral vs G=1 at full scale (the kernel is K/V-stream bound,
+    # not launch bound) — kept for fewer grid launches
+    kv_bytes = 2 * T * D * k.dtype.itemsize
+    per_scene = S * D * 8 + kv_bytes + S * T * 9  # q+out, k+v, inv + 2x scores
+    G = next((g for g in (4, 2, 1) if B % g == 0 and g * per_scene < 12 * 2**20), None)
+    if G is None:
+        # even one scene's working set exceeds scoped VMEM -> XLA fallback
+        return _xla_reference(q, k, v, invalid, n_head)
     kernel = functools.partial(_attn_kernel, n_head=n_head, block_b=G)
     return pl.pallas_call(
         kernel,
