@@ -113,8 +113,31 @@ def _pallas_forward(q, k, v, invalid, n_head: int):
     per_scene = S * D * 8 + kv_bytes + S * T * 9  # q+out, k+v, inv + 2x scores
     G = next((g for g in (4, 2, 1) if B % g == 0 and g * per_scene < 12 * 2**20), None)
     if G is None:
-        # even one scene's working set exceeds scoped VMEM -> XLA fallback
-        return _xla_reference(q, k, v, invalid, n_head)
+        # one scene's working set exceeds scoped VMEM (large-S episode
+        # attentions, e.g. the latent as2pl at S=1216 x T=1024): block the
+        # query dimension instead — k/v stay whole per scene, each grid step
+        # handles an SB-row slice of queries (row-local mask semantics, so
+        # the NaN guard still works per block)
+        def fits(sb):
+            return sb * D * 8 + kv_bytes + sb * T * 9 < 12 * 2**20
+
+        SB = next((sb for sb in range(S // 2, 31, -1) if S % sb == 0 and fits(sb)), None)
+        if SB is None:
+            return _xla_reference(q, k, v, invalid, n_head)
+        kernel = functools.partial(_attn_kernel, n_head=n_head, block_b=1)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, S, D), q.dtype),
+            grid=(B, S // SB),
+            in_specs=[
+                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SB, T), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(q, k, v, invalid.astype(jnp.int8))
     kernel = functools.partial(_attn_kernel, n_head=n_head, block_b=G)
     return pl.pallas_call(
         kernel,
