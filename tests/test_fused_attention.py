@@ -91,3 +91,35 @@ def test_attention_module_fused_flag_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(out_module), np.asarray(out_fused), rtol=1e-5, atol=1e-5
     )
+
+
+def test_scene_batched_grid_matches_reference():
+    """G>1 path: batch divisible by 4 -> 4 scenes per grid step."""
+    q, k, v, invalid = _setup(B=8, S=8, T=16)
+    out = fused_attention_core(q, k, v, invalid, 2)
+    ref = _xla_reference(q, k, v, invalid, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_query_blocked_path_matches_reference():
+    """SB path: one scene's working set exceeds the VMEM budget, so the
+    query dimension is blocked (the latent as2pl shape class)."""
+    # S*T*9 must exceed ~12 MB: S=1216, T=1024 like the real latent encode
+    q, k, v, invalid = _setup(B=1, S=1216, T=1024, D=32, all_invalid_row=False)
+    invalid = invalid.at[0, 5].set(True)  # NaN-guard row inside a block
+    out = fused_attention_core(q, k, v, invalid, 2)
+    ref = _xla_reference(q, k, v, invalid, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_bf16_kv_cache_path_runs():
+    """bf16 K/V operands (map_kv_bf16): fp32 accumulation, close to fp32 ref."""
+    q, k, v, invalid = _setup(B=4, S=8, T=16)
+    out = fused_attention_core(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        invalid, 2,
+    )
+    ref = _xla_reference(q, k, v, invalid, 2)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref), atol=5e-2
+    )

@@ -92,6 +92,9 @@ class MapEncoderConfig:
     # (16 measured ~8% faster than 8 at batch 128: fewer grid steps beat the
     # extra block-diagonal score redundancy)
     fused_block_pl: int = 16
+    # bf16 matmul operands inside the node kernel (fp32 accumulation);
+    # ~8% kernel-local, off by default to keep exact fp32 parity
+    kernel_matmul_bf16: bool = False
     # "fused": the whole 3-layer stack + pool in one VMEM-resident kernel
     # (fastest measured: 155 ms vs 290 hybrid vs 354 XLA at batch 128 —
     # intermediate HBM round-trips dominate the alternatives);
@@ -317,9 +320,10 @@ class ModelConfig:
     # measured round 2: the small-T kernels' launch overhead (90 steps x
     # batch-sized grids) exceeds their VMEM savings -> XLA by default
     fused_attention_small_t: bool = False
-    # store the per-episode as2pl K/V cache in bf16: the rollout re-reads it
-    # every step (batch x 1MB x 90 steps x n_layers of HBM traffic), and the
-    # attention math accumulates in fp32 either way
+    # store the per-episode as2pl K/V cache in bf16 in EVAL rollouts: they
+    # re-read it every step (batch x 1MB x 90 steps x n_layers of HBM
+    # traffic), and the attention math accumulates in fp32 either way.
+    # Training always keeps fp32 K/V (gradient precision parity).
     map_kv_bf16: bool = True
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96

@@ -225,6 +225,19 @@ class EpisodeLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """Bounded put that aborts when the consumer went away — an
+            abandoned iterator must not leave the producer blocked in q.put
+            forever (leaking the thread pool + h5 handles every epoch when
+            validation stops after val_batches/n_video_batch batches)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=max(1, self.n_workers)) as pool:
@@ -245,10 +258,11 @@ class EpisodeLoader:
                                     f.cancel()
                             return
                         episodes = [f.result() for f in pending.popleft()]
-                        q.put(self._assemble(episodes))
+                        if not put_checked(self._assemble(episodes)):
+                            return
                         submit_next()
             finally:
-                q.put(None)
+                put_checked(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -260,6 +274,13 @@ class EpisodeLoader:
                 yield item
         finally:
             stop.set()
+            # unblock a producer mid-put and reap it
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.05)
 
 
 def make_loaders(d: DataConfig, seed: int = 0):

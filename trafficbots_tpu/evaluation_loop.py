@@ -160,18 +160,19 @@ class Validator:
         self.womd_rr.reset()
         self.womd_jf.reset()
 
-    @staticmethod
-    def _host_gather(x):
-        """Per-scene device/host arrays -> full-batch numpy on every process.
+    def _host_gather(self, x):
+        """Sharded device outputs -> full global numpy on every process.
 
-        Multi-process runs shard scenes over processes; the WOMD packer and
-        submission writer need the whole batch, so gather over DCN first
-        (SURVEY.md section 2.2: multihost_utils.process_allgather for the WOMD
-        metric inputs, ref womd.py:44-49 dist_sync_on_step)."""
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        Multi-process runs shard the (globally identical) batch over the
+        global mesh, so per-scene device outputs are not fully addressable
+        on any one host. Resharding to a fully-replicated layout performs
+        the cross-host gather (ICI/DCN collective), after which every
+        process can read the whole array for host-side WOMD packing
+        (SURVEY.md section 2.2, ref womd.py:44-49 dist_sync_on_step)."""
+        if jax.process_count() > 1 and self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            x = jax.device_put(x, NamedSharding(self.mesh, P()))
         return np.asarray(x)
 
     def step(self, params, batch_np: Dict[str, np.ndarray], key) -> None:
@@ -198,12 +199,11 @@ class Validator:
         for k in self.sums:
             self.sums[k] = M.add_metric_sums(self.sums[k], jax.tree.map(np.asarray, out[k]))
 
-        # host-side WOMD packing (tiny arrays); per-scene outputs and the raw
-        # batch are scene-sharded in multi-process runs -> gather over DCN
-        if jax.process_count() > 1:
-            batch_np = {
-                k: self._host_gather(v) for k, v in batch_np.items() if not isinstance(v, list)
-            }
+        # host-side WOMD packing (tiny arrays). The loaders are NOT
+        # process-sharded: every process reads the same global batch (which
+        # device_put then shards over the global mesh), so batch_np is
+        # already complete on every host — only the DEVICE outputs need the
+        # DCN gather below.
         mask_pred = batch_np.get("history/agent/role", batch_np["agent/role"])[..., 2]
         object_id = batch_np.get(
             "history/agent/object_id",
@@ -249,6 +249,9 @@ class Validator:
         out.update(self.womd_jf.compute())
         out["val/loss"] = -out.get("joint_future_pred/mean_average_precision", 0.0)
         return out
+
+
+_VIS_JIT_CACHE: Dict[Any, Any] = {}
 
 
 def _vis_device_step(cfg: ExperimentConfig, model, params, batch, key):
@@ -304,7 +307,14 @@ def render_validation_media(
     import os
 
     n_batches = cfg.n_video_batch if n_batches is None else n_batches
-    jitted = jax.jit(lambda p, b, k: _vis_device_step(cfg, model, p, b, k))
+    # cache the jitted vis program across epochs: a fresh lambda per call
+    # would defeat jax.jit's function-identity cache and recompile the
+    # collect_attention rollout every epoch
+    cache_key = (id(model), cfg)
+    jitted = _VIS_JIT_CACHE.get(cache_key)
+    if jitted is None:
+        jitted = jax.jit(lambda p, b, k: _vis_device_step(cfg, model, p, b, k))
+        _VIS_JIT_CACHE[cache_key] = jitted
     paths: List[str] = []
     for batch_idx, batch_np in enumerate(val_iter_fn()):
         if batch_idx >= n_batches:

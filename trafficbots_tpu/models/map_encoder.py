@@ -85,6 +85,7 @@ class MapEncoder(nn.Module):
                     d_model=self.hidden_dim, n_head=self.tf_cfg.n_head,
                     n_layer=self.cfg.n_layer, d_feedforward=self.tf_cfg.d_feedforward,
                     dropout_p=self.tf_cfg.dropout_p, block_pl=self.cfg.fused_block_pl,
+                    matmul_bf16=self.cfg.kernel_matmul_bf16,
                     name="densetnt",
                 )
                 fused_pool_ok = (

@@ -801,9 +801,14 @@ class ActionHead(nn.Module):
                 )(x, mask_type[:, :, i], deterministic=deterministic)
             return out
         D = x.shape[-1]
-        w0 = self.param(f"{prefix}_w0", nn.initializers.lecun_normal(), (3, D, self.hidden_dim))
+        # leading axis 3 is a branch (batch) axis, NOT receptive field:
+        # declare it so fan_in stays D and each stacked branch initializes
+        # identically to a standalone Dense (lecun_normal over (3, D, H)
+        # would otherwise compute fan_in = 3*D, sqrt(3) too small)
+        init = nn.initializers.lecun_normal(batch_axis=(0,))
+        w0 = self.param(f"{prefix}_w0", init, (3, D, self.hidden_dim))
         b0 = self.param(f"{prefix}_b0", nn.initializers.zeros_init(), (3, self.hidden_dim))
-        w1 = self.param(f"{prefix}_w1", nn.initializers.lecun_normal(), (3, self.hidden_dim, self.action_dim))
+        w1 = self.param(f"{prefix}_w1", init, (3, self.hidden_dim, self.action_dim))
         b1 = self.param(f"{prefix}_b1", nn.initializers.zeros_init(), (3, self.action_dim))
         h = nn.relu(jnp.einsum("...d,tdh->...th", x, w0) + b0)
         out = jnp.einsum("...th,the->...te", h, w1) + b1

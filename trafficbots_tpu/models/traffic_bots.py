@@ -189,19 +189,20 @@ class TrafficBots(nn.Module):
     def pred_goal(self, deterministic: bool = True, **kwargs):
         return self.goal_manager.pred_goal(deterministic=deterministic, **kwargs)
 
-    def precompute_map_kv(self, map_feature: jnp.ndarray):
+    def precompute_map_kv(self, map_feature: jnp.ndarray, allow_bf16: bool = True):
         """Per-layer K/V projections of the (step-invariant) map tokens for
         the as2pl cross-attention — computed once per episode instead of once
         per rollout step per layer (the dominant per-step matmul: 1024 tokens
         vs 64 agents). Returns a tuple of (k, v) per layer.
 
-        With cfg.map_kv_bf16 the cache is stored in bf16: every rollout step
-        re-reads it from HBM (batch x ~1 MB x n_layers), so halving it cuts
-        the scan's dominant memory traffic; the attention logits still
-        accumulate in fp32.
+        With cfg.map_kv_bf16 (and allow_bf16 — the rollout disables it in
+        TRAINING so gradients keep the reference's fp32 precision) the cache
+        is stored in bf16: every rollout step re-reads it from HBM (batch x
+        ~1 MB x n_layers), so halving it cuts the scan's dominant memory
+        traffic; the attention logits still accumulate in fp32.
         """
         kv = self.transformer_as2pl(None, tgt=map_feature, return_tgt_kv=True)
-        if self.cfg.map_kv_bf16:
+        if self.cfg.map_kv_bf16 and allow_bf16:
             kv = tuple((k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)) for k, v in kv)
         return kv
 

@@ -212,11 +212,15 @@ def main(argv: Optional[List[str]] = None):
                     validator.step(params, batch_np, k_val)
             val_metrics = validator.epoch_end()
             # render prediction/attention videos + dest-prob images for the
-            # first n_video_batch val batches (ref waymo_motion.py:666-680)
-            if is_main and cfg.n_video_batch > 0:
+            # first n_video_batch val batches (ref waymo_motion.py:666-680).
+            # Key split happens on EVERY process (the key stream must stay
+            # replicated for the SPMD train step); rendering itself is
+            # single-process only — its jit consumes host-local arrays,
+            # which is incompatible with a multi-host mesh.
+            key, k_vis = jax.random.split(key)
+            if is_main and cfg.n_video_batch > 0 and jax.process_count() == 1:
                 from .evaluation_loop import render_validation_media
 
-                key, k_vis = jax.random.split(key)
                 media = render_validation_media(
                     cfg, model, params, val_iter_fn, k_vis,
                     out_dir=os.path.join(run_dir, "videos", f"epoch{epoch}"),
@@ -262,7 +266,7 @@ def main(argv: Optional[List[str]] = None):
             for k, v in sorted(val_metrics.items()):
                 if "/" in k and "waymo_metrics" not in k:
                     print(f"{k}: {v:.4f}")
-            if cfg.n_video_batch > 0:
+            if cfg.n_video_batch > 0 and jax.process_count() == 1:
                 from .evaluation_loop import render_validation_media
 
                 key, k_vis = jax.random.split(key)

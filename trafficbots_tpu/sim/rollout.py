@@ -229,7 +229,10 @@ def rollout(
     # every rollout step, so their per-layer K/V projections are computed ONCE
     # here instead of 90x inside the scan (the heaviest per-step matmuls:
     # n_pl=1024 tokens vs n_agent=64 queries).
-    map_kv = model_apply(method="precompute_map_kv", map_feature=features["map_feature"])
+    map_kv = model_apply(
+        method="precompute_map_kv", map_feature=features["map_feature"],
+        allow_bf16=not training,  # training keeps the reference's fp32 K/V
+    )
 
     # goal/latent injection input MLPs hoisted out of the scan (eval only —
     # in training their dropout must stay per-step). The z-inputs are
