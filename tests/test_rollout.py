@@ -148,3 +148,52 @@ def test_joint_future_pred(setup):
     assert goal_sample.shape == (B, A, K)
     assert goal_logp.shape == (B, A, K)
     assert np.isfinite(np.asarray(buf.preds)).all()
+
+
+def test_gt_sdc_what_if_rollout(setup):
+    """gt_sdc (what-if prediction): with tf cfg gt_sdc=True the SDC (agent 0)
+    is forced to its GT trajectory at every step while others roll out
+    closed-loop. Ref teacher_forcing.py:69-72 + configs/resume recipe."""
+    import dataclasses
+
+    cfg, model, params, batch = setup
+    tf = dataclasses.replace(cfg.tf_joint_future_pred, gt_sdc=True)
+
+    @jax.jit
+    def run(params, batch, key):
+        pbatch = pre_processing(batch, cfg.model, training=True)
+        feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
+        goal_gt, goal_valid = O.get_gt_goal(
+            cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
+        )
+        latent_post = model.apply(
+            {"params": params}, method="latent", posterior=True, **feats["latent_post"]
+        )
+        mask_tf = teacher_forcing_mask(O.tf_cfg_to_sim(tf), pbatch["gt/valid"])
+        buf = O.reactive_replay(
+            cfg, model, params, pbatch, feats["input"], latent_post,
+            goal_gt, goal_valid, mask_tf, key,
+            deterministic_latent=True, deterministic_action=True,
+        )
+        return pbatch, buf
+
+    pbatch, buf = run(params, batch, jax.random.PRNGKey(0))
+    gt_valid = np.asarray(pbatch["gt/valid"])  # [B, T, A]
+    gt_state = np.asarray(pbatch["gt/state"])  # [B, T, A, 4]
+    preds = np.asarray(buf.preds)  # [B, A, S, 4] (PRE-override, ref semantics)
+    om = np.asarray(buf.override_masks)
+    S = preds.shape[2]
+    # the SDC is overridden at every GT-valid step
+    for s in range(1, S + 1):
+        np.testing.assert_array_equal(om[:, 0, s - 1], gt_valid[:, s, 0])
+    # beyond warm start, non-SDC agents are NOT all forced
+    assert not om[:, 1:, cfg.time_step_current + 5 :].all()
+    # the buffered pred is pre-override, but each step integrates FROM the
+    # overridden (GT) state, so the SDC's prediction stays within one
+    # integration step of GT at every late step (one dt of max accel/speed)
+    late = slice(cfg.time_step_current + 2, S)  # buffer idx s-1 <-> abs step s
+    sdc_err = np.linalg.norm(
+        preds[:, 0, late, :2] - gt_state[:, cfg.time_step_current + 3 :, 0, :2], axis=-1
+    )
+    valid_late = gt_valid[:, cfg.time_step_current + 3 :, 0]
+    assert (sdc_err[valid_late] < 3.0).all(), sdc_err[valid_late].max()
