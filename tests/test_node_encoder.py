@@ -58,6 +58,20 @@ def test_kernel_matches_xla_path_with_pool():
     assert (np.asarray(pooled)[~vn] < -1e20).all()
 
 
+def test_pipelined_kernel_matches_single_block():
+    """pipeline_blocks=2 (two independent sub-chains per grid step) must be
+    bit-identical to the single-block kernel."""
+    x, valid = _data(seed=5)
+    f1 = FusedNodeEncoder(d_model=D, n_head=H, n_layer=L, d_feedforward=F,
+                          dropout_p=0.0, pipeline_blocks=1)
+    f2 = FusedNodeEncoder(d_model=D, n_head=H, n_layer=L, d_feedforward=F,
+                          dropout_p=0.0, pipeline_blocks=2)
+    params = f1.init(jax.random.PRNGKey(2), x, valid)["params"]
+    p1 = f1.apply({"params": params}, x, valid, method="encode_pooled")
+    p2 = f2.apply({"params": params}, x, valid, method="encode_pooled")
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_hybrid_matches_xla_path_with_pool():
     """encode_pooled_hybrid (XLA projections + Pallas score core) == XLA ref."""
     x, valid = _data(seed=4)

@@ -92,6 +92,10 @@ class MapEncoderConfig:
     # (16 measured ~8% faster than 8 at batch 128: fewer grid steps beat the
     # extra block-diagonal score redundancy)
     fused_block_pl: int = 16
+    # independent block_pl-sized sub-blocks per grid step: disjoint
+    # dependency chains let the scheduler overlap one sub-block's VPU
+    # phases with another's matmuls (the kernel is chain-latency-bound)
+    fused_pipeline_blocks: int = 1
     # bf16 matmul operands inside the node kernel (fp32 accumulation);
     # ~8% kernel-local, off by default to keep exact fp32 parity
     kernel_matmul_bf16: bool = False
@@ -364,6 +368,13 @@ class ExperimentConfig:
         default_factory=lambda: TeacherForcingConfigC(step_spawn_agent=90)
     )
     tf_joint_future_pred: TeacherForcingConfigC = field(default_factory=TeacherForcingConfigC)
+
+    # Sub-epoch training cadence: each "epoch" consumes this fraction of the
+    # training loader (float in (0,1]) or this many batches (int > 1) before
+    # validation/checkpoint/LR-epoch accounting run — the reference validates
+    # every 0.15 of the packed training file (configs/trainer/default.yaml:3
+    # `limit_train_batches: 0.15`, PL semantics).
+    limit_train_batches: float = 0.15
 
     time_step_current: int = 10
     time_step_gt: int = 90

@@ -176,18 +176,56 @@ class EpisodeLoader:
         n_workers: int = 4,
         prefetch: int = 2,
         drop_last: bool = False,
+        limit_batches: float = 1.0,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """`limit_batches` follows PL's limit_train_batches semantics
+        (ref configs/trainer/default.yaml:3): a float in (0, 1] takes that
+        fraction of the full loader per epoch; a value > 1 is an absolute
+        batch count. The reference trains on 0.15 of training.h5 between
+        validations — this is how that cadence is expressed here.
+
+        `shard_index`/`shard_count` shard each GLOBAL batch over processes:
+        every process draws the same global index sequence (same seed) but
+        reads only its contiguous `batch_size/shard_count` slice — IO scales
+        with hosts and jax.make_array_from_process_local_data assembles the
+        global array (SURVEY.md section 2.2; the reference's DDP sampler
+        analog)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.n_workers = n_workers
         self.prefetch = prefetch
-        self.drop_last = drop_last
+        self.drop_last = drop_last or shard_count > 1  # ragged batches don't shard evenly
         self.seed = shuffle_seed
+        self.limit_batches = limit_batches
+        assert batch_size % shard_count == 0, (
+            f"global batch_size {batch_size} not divisible by process count {shard_count}"
+        )
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        # Per-epoch sampling: the reference's training split draws a fresh
+        # random index per __getitem__ from ambient numpy state, so every
+        # epoch sees different episodes (ref data_h5_womd.py:28-30). We keep
+        # determinism but fold the epoch into the seed so epochs differ;
+        # run.py calls set_epoch() for exact resume reproducibility.
+        self._epoch = 0
 
-    def __len__(self):
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _full_len(self) -> int:
         if self.drop_last:
             return len(self.ds) // self.batch_size
         return (len(self.ds) + self.batch_size - 1) // self.batch_size
+
+    def __len__(self):
+        full = self._full_len()
+        if self.limit_batches > 1.0:  # absolute batch count
+            return min(full, int(self.limit_batches))
+        if self.limit_batches < 1.0:  # fraction of the full loader
+            return max(1, int(full * self.limit_batches))
+        return full
 
     @staticmethod
     def _assemble(episodes: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -208,19 +246,27 @@ class EpisodeLoader:
 
         Ordering/determinism: all indices are drawn up front from the seeded
         RNG (train samples a random index per draw, ref :28-30; val/test are
-        sequential), so worker scheduling cannot perturb the epoch.
+        sequential), so worker scheduling cannot perturb the epoch. The RNG
+        seed folds in the current epoch so successive epochs draw DIFFERENT
+        episodes — per-epoch determinism, not per-run repetition.
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(self.ds)
-        rng = np.random.RandomState(self.seed)
+        seed = int(np.random.SeedSequence((self.seed, self._epoch)).generate_state(1)[0])
+        rng = np.random.RandomState(seed)
         idx_batches: List[List[int]] = []
         for b in range(len(self)):
             idxs = list(range(b * self.batch_size, min((b + 1) * self.batch_size, n)))
             if self.ds.is_train:
                 idxs = [int(rng.randint(n)) for _ in idxs]
+            if self.shard_count > 1:
+                per = self.batch_size // self.shard_count
+                idxs = idxs[self.shard_index * per : (self.shard_index + 1) * per]
             idx_batches.append(idxs)
+        # without an explicit set_epoch, consecutive iterations still vary
+        self._epoch += 1
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -283,13 +329,26 @@ class EpisodeLoader:
                 t.join(timeout=0.05)
 
 
-def make_loaders(d: DataConfig, seed: int = 0):
-    """Train/val/test loaders over the packed files. Ref data_h5_womd.py:175-203."""
+def make_loaders(
+    d: DataConfig,
+    seed: int = 0,
+    limit_train_batches: float = 1.0,
+    shard_index: int = 0,
+    shard_count: int = 1,
+):
+    """Train/val/test loaders over the packed files. Ref data_h5_womd.py:175-203.
+
+    `limit_train_batches` caps the training loader per epoch (PL's
+    limit_train_batches, ref configs/trainer/default.yaml:3) so the
+    validation/LR cadence matches the reference's 0.15-of-file epochs.
+    `shard_index`/`shard_count` (usually jax.process_index/process_count)
+    give each host its own slice of every global batch."""
+    shard = dict(shard_index=shard_index, shard_count=shard_count)
     train = H5Dataset(f"{d.data_dir}/{d.filename_train}.h5", tensor_size_train(d), is_train=True)
     val = H5Dataset(f"{d.data_dir}/{d.filename_val}.h5", tensor_size_val(d), is_train=False)
     test = H5Dataset(f"{d.data_dir}/{d.filename_test}.h5", tensor_size_test(d), is_train=False)
     return (
-        EpisodeLoader(train, d.batch_size, shuffle_seed=seed),
-        EpisodeLoader(val, d.batch_size),
-        EpisodeLoader(test, d.batch_size),
+        EpisodeLoader(train, d.batch_size, shuffle_seed=seed, limit_batches=limit_train_batches, **shard),
+        EpisodeLoader(val, d.batch_size, **shard),
+        EpisodeLoader(test, d.batch_size, **shard),
     )

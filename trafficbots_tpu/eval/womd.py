@@ -68,6 +68,27 @@ class WOMDMetrics:
 
     def reset(self):
         self.engine.reset()
+        self._synced = False
+
+    def sync(self) -> None:
+        """Gather accumulated metric-input batches from all processes so
+        epoch-end compute sees every scenario when loaders are
+        process-sharded — the torchmetrics `dist_sync_on_step` analog
+        (ref womd.py:44-49). No-op single-process."""
+        if not self.enabled:
+            return
+        import jax
+
+        if jax.process_count() == 1 or getattr(self, "_synced", False):
+            return
+        self._synced = True
+        from jax.experimental import multihost_utils
+
+        self.engine._batches = [
+            {k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+             for k, v in b.items()}
+            for b in self.engine._batches
+        ]
 
     def update(
         self, batch: Dict[str, np.ndarray], pred_traj: np.ndarray, pred_score: Optional[np.ndarray] = None

@@ -150,6 +150,15 @@ class Validator:
         )
         self.sub_rr = sub_rr or SubWOMD(k_futures=1, activate=False)
         self.sub_jf = sub_jf or SubWOMD(k_futures=cfg.n_joint_future, activate=False)
+        if jax.process_count() > 1 and (self.sub_rr.activate or self.sub_jf.activate):
+            # submission packing needs host-side scenario_id strings that do
+            # not cross hosts; the reference writes submissions single-GPU
+            # only too (ref submission.py:12) — run action=validate on one
+            # process for leaderboard files.
+            import warnings
+
+            warnings.warn("submission writing requires a single-process run; disabling")
+            self.sub_rr.activate = self.sub_jf.activate = False
         self._jitted = None
         self.reset()
 
@@ -160,19 +169,21 @@ class Validator:
         self.womd_rr.reset()
         self.womd_jf.reset()
 
-    def _host_gather(self, x):
-        """Sharded device outputs -> full global numpy on every process.
+    def _local_rows(self, x) -> np.ndarray:
+        """Device output -> the numpy rows belonging to THIS process.
 
-        Multi-process runs shard the (globally identical) batch over the
-        global mesh, so per-scene device outputs are not fully addressable
-        on any one host. Resharding to a fully-replicated layout performs
-        the cross-host gather (ICI/DCN collective), after which every
-        process can read the whole array for host-side WOMD packing
-        (SURVEY.md section 2.2, ref womd.py:44-49 dist_sync_on_step)."""
+        Single-process: the whole array. Multi-process: the batch is
+        process-sharded (each host fed only its own scenes via
+        make_array_from_process_local_data), so WOMD packing consumes the
+        host-addressable shards — ordered by their global row offset — and
+        the cross-host union happens once at epoch end in WOMDMetrics.sync()
+        (ref womd.py:44-49 dist_sync_on_step). Exercised by
+        tests/test_multiprocess.py on a 2-process CPU mesh."""
         if jax.process_count() > 1 and self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            x = jax.device_put(x, NamedSharding(self.mesh, P()))
+            shards = sorted(
+                x.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
         return np.asarray(x)
 
     def step(self, params, batch_np: Dict[str, np.ndarray], key) -> None:
@@ -185,25 +196,23 @@ class Validator:
 
             self._jitted = jax.jit(fn)
         if self.mesh is not None:
-            # scenes shard over the data axis; GSPMD propagates the sharding
-            # through the program and np.asarray gathers outputs to host
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # scenes shard over the data axis (multi-process: batch_np is the
+            # process-local slice and the global array is assembled without
+            # cross-host data movement); GSPMD propagates the sharding
+            from .parallel.mesh import put_global_batch
 
-            batch = {
-                k: jax.device_put(v, NamedSharding(self.mesh, P("data")))
-                for k, v in batch.items()
-            }
+            batch = put_global_batch(batch_np, self.mesh)
         out = self._jitted(params, batch, key)
 
         # metric sums are replicated global reductions -> addressable everywhere
         for k in self.sums:
             self.sums[k] = M.add_metric_sums(self.sums[k], jax.tree.map(np.asarray, out[k]))
 
-        # host-side WOMD packing (tiny arrays). The loaders are NOT
-        # process-sharded: every process reads the same global batch (which
-        # device_put then shards over the global mesh), so batch_np is
-        # already complete on every host — only the DEVICE outputs need the
-        # DCN gather below.
+        # host-side WOMD packing (tiny arrays). Multi-process: batch_np is
+        # this process's slice of the global batch (process-sharded loader)
+        # and _local_rows() extracts the matching device-output rows, so
+        # packing stays host-local; WOMDMetrics.sync() unions the
+        # accumulated inputs across hosts once at epoch end.
         mask_pred = batch_np.get("history/agent/role", batch_np["agent/role"])[..., 2]
         object_id = batch_np.get(
             "history/agent/object_id",
@@ -211,11 +220,10 @@ class Validator:
                 np.arange(batch_np["agent/valid"].shape[-1]), batch_np["agent/valid"].shape[::2]
             )),
         )
-        # gather once (collective: must run on every process, unconditionally)
-        trajs_rr = self._host_gather(out["pred_rr"]["waymo_trajs"])
-        scores_rr = self._host_gather(out["pred_rr"]["waymo_scores"])
-        trajs_jf = self._host_gather(out["pred_jf"]["waymo_trajs"])
-        scores_jf = self._host_gather(out["pred_jf"]["waymo_scores"])
+        trajs_rr = self._local_rows(out["pred_rr"]["waymo_trajs"])
+        scores_rr = self._local_rows(out["pred_rr"]["waymo_scores"])
+        trajs_jf = self._local_rows(out["pred_jf"]["waymo_trajs"])
+        scores_jf = self._local_rows(out["pred_jf"]["waymo_scores"])
         self.womd_rr.update(batch_np, trajs_rr, scores_rr)
         self.womd_jf.update(batch_np, trajs_jf, scores_jf)
 
@@ -245,9 +253,20 @@ class Validator:
         for name in ("vae_kl", "diffbar_reward", "goal_loss"):
             if f"{name}_sum" in tm:
                 out[f"reactive_replay/{name}"] = float(tm[f"{name}_sum"]) / max(float(tm[f"{name}_count"]), 1.0)
+        # cross-host union of WOMD metric inputs (collective; no-op when
+        # single-process) before the host-side metric math
+        self.womd_rr.sync()
+        self.womd_jf.sync()
         out.update(self.womd_rr.compute())
         out.update(self.womd_jf.compute())
-        out["val/loss"] = -out.get("joint_future_pred/mean_average_precision", 0.0)
+        if "joint_future_pred/mean_average_precision" in out:
+            out["val/loss"] = -out["joint_future_pred/mean_average_precision"]
+        else:
+            # WOMD metrics disabled (e.g. debug horizons shorter than the
+            # challenge's 80 future steps): monitor the reactive-replay
+            # position error instead of a constant -0.0 so save_if_best
+            # stays meaningful (ref waymo_motion.py:785-790 uses -mAP)
+            out["val/loss"] = out.get("reactive_replay/err/pos_meter", 0.0)
         return out
 
 
@@ -261,7 +280,7 @@ def _vis_device_step(cfg: ExperimentConfig, model, params, batch, key):
     feats = O.encode_episode_features(model, params, batch, training=False, key=None)
     input_dict = extract(batch, "input")
 
-    goal_gt = goal_valid = dest_probs = None
+    goal_gt = goal_valid = goal_pred = dest_probs = None
     if cfg.model.goal_manager.goal_attr_mode != "dummy":
         goal_gt, goal_valid = O.get_gt_goal(
             cfg, input_dict["agent_valid"], batch["gt/goal"], batch["gt/dest"]
@@ -278,13 +297,26 @@ def _vis_device_step(cfg: ExperimentConfig, model, params, batch, key):
         {"params": params}, method="latent", posterior=True, **feats["latent_post"]
     )
     mask_tf = teacher_forcing_mask(O.tf_cfg_to_sim(cfg.tf_reactive_replay), batch["gt/valid"])
+    k1, k2 = jax.random.split(key)
     buf = O.reactive_replay(
         cfg, model, params, batch, feats["input"], latent_post,
-        goal_gt, goal_valid, mask_tf, key,
+        goal_gt, goal_valid, mask_tf, k1,
         deterministic_latent=True, deterministic_action=True,
         collect_attention=True,
     )
-    return buf, dest_probs
+
+    # K=6 joint-future rollout for prediction videos (ref
+    # waymo_motion.py:734-753 renders the joint_future_pred videos too —
+    # prior latent + sampled goal, the rollout a user actually inspects)
+    latent_prior = model.apply(
+        {"params": params}, method="latent", posterior=False, **feats["latent_prior"]
+    )
+    buf_jf, goal_sample, goal_logp = O.joint_future_pred(
+        cfg, model, params, batch, feats["input"], latent_prior,
+        goal_pred, goal_valid, k2,
+    )
+    jf_scores = jnp.exp(buf_jf.latent_log_probs[..., 0] + goal_logp)  # [B, A, K]
+    return buf, dest_probs, buf_jf, jf_scores
 
 
 def render_validation_media(
@@ -309,20 +341,26 @@ def render_validation_media(
     n_batches = cfg.n_video_batch if n_batches is None else n_batches
     # cache the jitted vis program across epochs: a fresh lambda per call
     # would defeat jax.jit's function-identity cache and recompile the
-    # collect_attention rollout every epoch
-    cache_key = (id(model), cfg)
-    jitted = _VIS_JIT_CACHE.get(cache_key)
+    # collect_attention rollout every epoch. Keyed on cfg with a weakref
+    # identity check on the model — id() keys can be reused after GC and
+    # would hand a later model the stale closure.
+    import weakref
+
+    entry = _VIS_JIT_CACHE.get(cfg)
+    jitted = entry[1] if entry is not None and entry[0]() is model else None
     if jitted is None:
         jitted = jax.jit(lambda p, b, k: _vis_device_step(cfg, model, p, b, k))
-        _VIS_JIT_CACHE[cache_key] = jitted
+        _VIS_JIT_CACHE[cfg] = (weakref.ref(model), jitted)
     paths: List[str] = []
     for batch_idx, batch_np in enumerate(val_iter_fn()):
         if batch_idx >= n_batches:
             break
         batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
         key, k_vis = jax.random.split(key)
-        buf, dest_probs = jitted(params, batch, k_vis)
+        buf, dest_probs, buf_jf, jf_scores = jitted(params, batch, k_vis)
         buf = jax.tree.map(np.asarray, buf)
+        buf_jf = jax.tree.map(np.asarray, buf_jf)
+        jf_scores = np.asarray(jf_scores)
         fs = buf.step_future_start
 
         n_scene = batch_np["agent/valid"].shape[0]
@@ -357,6 +395,27 @@ def render_validation_media(
                 os.path.join(out_dir, f"reactive_replay_{tag}.mp4"),
                 episode, prediction, step_current=cfg.time_step_current,
             ))
+            # joint-future K videos: all K for the first batch, K=0 only for
+            # the rest (ref waymo_motion.py:742 `k_to_log`). buf_jf layout is
+            # [B, A, K, S, ...] after flatten_repeat.
+            fs_jf = buf_jf.step_future_start
+            k_to_log = buf_jf.valid.shape[2] if batch_idx == 0 else 1
+            for kf in range(k_to_log):
+                viol_jf = np.zeros_like(buf_jf.valid[idx, :, kf], dtype=bool)
+                for v in buf_jf.violations.values():
+                    viol_jf |= np.asarray(v[idx, :, kf], dtype=bool)
+                pred_jf = {
+                    "agent/valid": buf_jf.valid[idx, :, kf].swapaxes(0, 1)[fs_jf:],
+                    "agent/pos": buf_jf.preds[idx, :, kf, :, :2].swapaxes(0, 1)[fs_jf:],
+                    "agent/yaw_bbox": buf_jf.preds[idx, :, kf, :, 2:3].swapaxes(0, 1)[fs_jf:],
+                    "violations": viol_jf.swapaxes(0, 1)[fs_jf:],
+                }
+                score = float(np.max(jf_scores[idx, :, kf]))
+                paths.append(scene.save_prediction_video(
+                    os.path.join(out_dir, f"joint_future_K{kf}_{tag}.mp4"),
+                    episode, pred_jf, step_current=cfg.time_step_current,
+                    title=f"joint_future K={kf} score={score:.3f}",
+                ))
             if buf.attn and "attn_pl" in buf.attn:
                 sdc = int(np.argmax(batch_np["agent/role"][idx, :, 0]))
                 paths.append(scene.save_attention_video(

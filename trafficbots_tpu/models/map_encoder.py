@@ -86,13 +86,14 @@ class MapEncoder(nn.Module):
                     n_layer=self.cfg.n_layer, d_feedforward=self.tf_cfg.d_feedforward,
                     dropout_p=self.tf_cfg.dropout_p, block_pl=self.cfg.fused_block_pl,
                     matmul_bf16=self.cfg.kernel_matmul_bf16,
+                    pipeline_blocks=self.cfg.fused_pipeline_blocks,
                     name="densetnt",
                 )
                 fused_pool_ok = (
                     deterministic
                     and self.cfg.pool_mode == "max"
                     and jax.default_backend() == "tpu"
-                    and (n_scene * n_pl) % stack.block_pl == 0
+                    and (n_scene * n_pl) % (stack.block_pl * max(1, stack.pipeline_blocks)) == 0
                 )
                 if fused_pool_ok:
                     # the map encoder dominates the eval profile; "hybrid"

@@ -61,6 +61,14 @@ class FusedNodeEncoder(nn.Module):
     # encoder is matmul-bound. Costs ~3 decimal digits on the node features;
     # quality metrics are insensitive (see PERF.md A/B).
     matmul_bf16: bool = False
+    # process this many INDEPENDENT block_pl-sized sub-blocks per grid step:
+    # each sub-block keeps its own [R, R] score matrix (no block-diagonal
+    # redundancy growth, unlike raising block_pl) but their dependency
+    # chains are disjoint, letting the Mosaic scheduler overlap one
+    # sub-block's VPU phases (layernorm/softmax) with the other's MXU
+    # matmuls — the kernel is latency-bound on its serial per-layer chain,
+    # not MXU rate (bf16 moved it only ~8%).
+    pipeline_blocks: int = 1
 
     def setup(self):
         L, D, F = self.n_layer, self.d_model, self.d_feedforward
@@ -212,10 +220,11 @@ class FusedNodeEncoder(nn.Module):
         zeroed by the caller's pl_valid mask, same as the -inf pool)."""
         BP, N, D = x.shape
         BLK = self.block_pl
+        SUB = max(1, self.pipeline_blocks)
+        STEP = BLK * SUB  # polylines per grid step
         assert BLK % 8 == 0, "pooled-output block sublane dim must be divisible by 8"
-        assert BP % BLK == 0, f"n_scene*n_pl={BP} must be a multiple of {BLK}"
-        R = BLK * N
-        grid = BP // BLK
+        assert BP % STEP == 0, f"n_scene*n_pl={BP} must be a multiple of {STEP}"
+        grid = BP // STEP
 
         weights = (
             self.ln1_s, self.ln1_b, self.lnt_s, self.lnt_b, self.ln2_s, self.ln2_b,
@@ -224,7 +233,7 @@ class FusedNodeEncoder(nn.Module):
         )
         kernel = functools.partial(
             _node_kernel, n_layer=self.n_layer, n_head=self.n_head, n_node=N, blk=BLK,
-            bf16=self.matmul_bf16,
+            bf16=self.matmul_bf16, n_sub=SUB,
         )
         w_specs = [
             pl.BlockSpec(w.shape, lambda b, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
@@ -235,10 +244,10 @@ class FusedNodeEncoder(nn.Module):
             out_shape=jax.ShapeDtypeStruct((BP, D), jnp.float32),
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((BLK, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLK, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ] + w_specs,
-            out_specs=pl.BlockSpec((BLK, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((STEP, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
             interpret=jax.default_backend() != "tpu",
         )(
             x.astype(jnp.float32),
@@ -311,7 +320,14 @@ def _node_kernel(
     wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
     o_ref,
     *, n_layer: int, n_head: int, n_node: int, blk: int, bf16: bool = False,
+    n_sub: int = 1,
 ):
+    """`n_sub` > 1 runs that many independent blk-sized sub-blocks per grid
+    step. Their per-layer chains share no data, so the scheduler can overlap
+    one sub-block's VPU work (layernorm/softmax) with another's MXU matmuls
+    — attacking the serial dependency chain this kernel is bound by. The
+    emission below interleaves the subs PHASE BY PHASE (all subs' q/k/v,
+    then all subs' scores, ...) to hand the scheduler ready-to-overlap ops."""
     D = x_ref.shape[-1]
     R = blk * n_node
     d_head = D // n_head
@@ -321,62 +337,75 @@ def _node_kernel(
     def mm(a, b):
         return jnp.dot(a.astype(mm_t), b.astype(mm_t), preferred_element_type=jnp.float32)
 
-    x = x_ref[:].reshape(R, D)
-    vf = v_ref[:].reshape(R, 1)  # 1.0 = valid node
     ones = jnp.ones((R, 1), jnp.float32)
-
-    # static block-diagonal (same-polyline) mask
+    # static block-diagonal (same-polyline) mask, shared by all sub-blocks
     row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     same = ((row // n_node) == (col // n_node)).astype(jnp.float32)
-    # column validity via outer product (avoids transposes/relayouts)
-    colv = jax.lax.dot_general(
-        ones, vf, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [R, R] = v[j]
-    allowed = same * colv
-    row_has = jax.lax.dot_general(
-        allowed, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [R, 1] count of attendable targets
-    nv = 1.0 - jnp.minimum(row_has, 1.0)  # [R, 1] 1.0 = NaN-guard row
-    use_mask = (1.0 - allowed) * (1.0 - nv)  # lifted for guard rows
 
-    x0 = x  # k/v target fixed at the layer-0 features (TransformerBlock semantics)
+    xs, vfs, nvs, masks = [], [], [], []
+    for s in range(n_sub):
+        rows_sl = slice(s * blk, (s + 1) * blk)
+        x = x_ref[rows_sl].reshape(R, D)
+        vf = v_ref[rows_sl].reshape(R, 1)  # 1.0 = valid node
+        # column validity via outer product (avoids transposes/relayouts)
+        colv = jax.lax.dot_general(
+            ones, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, R] = v[j]
+        allowed = same * colv
+        row_has = jax.lax.dot_general(
+            allowed, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, 1] count of attendable targets
+        nv = 1.0 - jnp.minimum(row_has, 1.0)  # [R, 1] 1.0 = NaN-guard row
+        xs.append(x)
+        vfs.append(vf)
+        nvs.append(nv)
+        masks.append((1.0 - allowed) * (1.0 - nv))  # lifted for guard rows
+
+    x0s = list(xs)  # k/v target fixed at layer-0 features (TransformerBlock)
     for l in range(n_layer):
-        src2 = _ln(x, ln1_s[l], ln1_b[l])
-        tgtn = _ln(x0, lnt_s[l], lnt_b[l])
-        q = mm(src2, wq[l]) + bq[l]
-        k = mm(tgtn, wk[l]) + bk[l]
-        v = mm(tgtn, wv[l]) + bv[l]
-        heads = []
-        for h in range(n_head):
-            sl = slice(h * d_head, (h + 1) * d_head)
-            logits = jax.lax.dot_general(
-                q[:, sl].astype(mm_t), k[:, sl].astype(mm_t),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            logits = logits * scale + use_mask * _NEG
-            attn = jax.nn.softmax(logits, axis=-1)
-            heads.append(mm(attn, v[:, sl]))
-        a = jnp.concatenate(heads, axis=-1)
-        a = mm(a, wo[l]) + bo[l]
-        a = a * (1.0 - nv)
-        x = x + a
-        src2 = _ln(x, ln2_s[l], ln2_b[l])
-        f = jnp.maximum(mm(src2, w1[l]) + b1[l], 0.0)
-        f = mm(f, w2[l]) + b2[l]
-        x = x + f
-        x = x * vf  # zero invalid rows (per-layer masking of the reference)
+        qs, ks, vs = [], [], []
+        for s in range(n_sub):
+            src2 = _ln(xs[s], ln1_s[l], ln1_b[l])
+            tgtn = _ln(x0s[s], lnt_s[l], lnt_b[l])
+            qs.append(mm(src2, wq[l]) + bq[l])
+            ks.append(mm(tgtn, wk[l]) + bk[l])
+            vs.append(mm(tgtn, wv[l]) + bv[l])
+        atts = []
+        for s in range(n_sub):
+            heads = []
+            for h in range(n_head):
+                sl = slice(h * d_head, (h + 1) * d_head)
+                logits = jax.lax.dot_general(
+                    qs[s][:, sl].astype(mm_t), ks[s][:, sl].astype(mm_t),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                logits = logits * scale + masks[s] * _NEG
+                attn = jax.nn.softmax(logits, axis=-1)
+                heads.append(mm(attn, vs[s][:, sl]))
+            atts.append(jnp.concatenate(heads, axis=-1))
+        for s in range(n_sub):
+            a = mm(atts[s], wo[l]) + bo[l]
+            a = a * (1.0 - nvs[s])
+            x = xs[s] + a
+            src2 = _ln(x, ln2_s[l], ln2_b[l])
+            f = jnp.maximum(mm(src2, w1[l]) + b1[l], 0.0)
+            f = mm(f, w2[l]) + b2[l]
+            x = x + f
+            xs[s] = x * vfs[s]  # zero invalid rows (per-layer masking of the reference)
 
     # masked max-pool over each polyline's nodes
-    x = x + (1.0 - vf) * _NEG
-    rows = [
-        jnp.max(x[i * n_node : (i + 1) * n_node, :], axis=0, keepdims=True)
-        for i in range(blk)
-    ]
-    o_ref[:] = jnp.concatenate(rows, axis=0)
+    outs = []
+    for s in range(n_sub):
+        x = xs[s] + (1.0 - vfs[s]) * _NEG
+        outs.extend(
+            jnp.max(x[i * n_node : (i + 1) * n_node, :], axis=0, keepdims=True)
+            for i in range(blk)
+        )
+    o_ref[:] = jnp.concatenate(outs, axis=0)
 
 
 def stack_params_from_transformer_block(tb_params: dict, n_layer: int) -> dict:

@@ -98,7 +98,15 @@ def encode_episode_features(
     """
     rngs = {"dropout": key} if (training and key is not None) else {}
     if share_map_encoding is None:
-        share_map_encoding = not training and "latent_perturbed" not in batch
+        # Training also shares by default: the three views always see the
+        # IDENTICAL map tensors (only agent/tl views differ), so sharing
+        # changes nothing but the dropout-noise correlation between views —
+        # while the map encoder is the single most expensive module in the
+        # train step (fwd + BPTT backward x3 views). Documented divergence
+        # (docs/divergences.md); share_map_encoding=False restores the
+        # reference's independent per-view dropout draws
+        # (ref waymo_motion.py:366-368).
+        share_map_encoding = "latent_perturbed" not in batch
     out = {}
     shared_map = None
     for prefix in ("input", "latent_post", "latent_prior"):

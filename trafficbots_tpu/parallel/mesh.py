@@ -37,6 +37,25 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndar
     return {k: _put(v) for k, v in batch.items()}
 
 
+def put_global_batch(batch_np: Dict[str, Any], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    """Host batch -> global jax.Arrays sharded over the data axis.
+
+    Single-process: a plain device_put. Multi-process: each host passes its
+    PROCESS-LOCAL slice (from a process-sharded EpisodeLoader) and
+    `jax.make_array_from_process_local_data` assembles the global array
+    without any cross-host transfer of someone else's scenes — the
+    documented API for host-sharded input pipelines (SURVEY.md section 2.2;
+    replaces the reference's per-rank DDP DataLoader)."""
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return {k: jax.device_put(jnp.asarray(v), sharding)
+                for k, v in batch_np.items() if not isinstance(v, list)}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch_np.items() if not isinstance(v, list)
+    }
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

@@ -62,7 +62,7 @@ def parse_args(argv: List[str]):
     resume = None
     synthetic = False
     n_epochs = 1
-    steps_per_epoch = 100
+    steps_per_epoch = None  # default: loader length (real data) or 100 (synthetic)
     val_batches = -1
     cfg = ExperimentConfig()
     overrides = []
@@ -106,13 +106,56 @@ def parse_args(argv: List[str]):
 def synthetic_loader(cfg, n_batches: int, seed: int = 0):
     from .data.synthetic import synthetic_episode_batch
 
-    def it():
+    def it(epoch: int = 0):
+        import jax
+
+        pc, pi = jax.process_count(), jax.process_index()
         for i in range(n_batches):
-            yield synthetic_episode_batch(
-                cfg.data, n_scene=cfg.data.batch_size, seed=seed + i, with_history=True
+            batch = synthetic_episode_batch(
+                cfg.data, n_scene=cfg.data.batch_size,
+                seed=seed + epoch * n_batches + i, with_history=True,
             )
+            if pc > 1:
+                # every process generates the identical global batch (same
+                # seed), then keeps its contiguous slice — the synthetic
+                # analog of the process-sharded EpisodeLoader
+                per = cfg.data.batch_size // pc
+                batch = {k: v[pi * per : (pi + 1) * per] for k, v in batch.items()}
+            yield batch
 
     return it
+
+
+def _mean_metrics(metrics) -> Dict[str, float]:
+    """Collapse psum'd `*_sum`/`*_count` pairs to per-element means for
+    logging — the reference logs per-step means (waymo_motion.py:415-417),
+    not device- and batch-scaled raw sums."""
+    m = {k: float(v) for k, v in metrics.items()}
+    out: Dict[str, float] = {}
+    for k, v in m.items():
+        if k.endswith("_count"):
+            continue
+        if k.endswith("_sum"):
+            name = k[: -len("_sum")]
+            out[name] = v / max(m.get(f"{name}_count", 1.0), 1.0)
+        else:
+            out[k] = v
+    return out
+
+
+def _resolve_resume(ckpt, resume: str, default: str):
+    """Map the CLI `resume=` value to a checkpoint name or explicit path.
+
+    `resume=1/true` keeps the legacy behavior (restore `default`);
+    `resume=best|last` picks that checkpoint; any other value is treated as
+    a path to an Orbax checkpoint directory — the analog of the reference's
+    `resume.checkpoint` wandb-artifact flow (ref run.py:33-47,
+    configs/resume/submission.yaml)."""
+    if resume in ("1", "true", "True", "yes"):
+        resume = default
+    if resume in ("best", "last"):
+        return resume if ckpt.exists(resume) else None
+    return resume if os.path.isdir(resume) else None
 
 
 def main(argv: Optional[List[str]] = None):
@@ -142,14 +185,31 @@ def main(argv: Optional[List[str]] = None):
 
     # data
     if synthetic:
+        if steps_per_epoch is None:
+            steps_per_epoch = 100
         train_iter_fn = synthetic_loader(cfg, steps_per_epoch)
         val_iter_fn = synthetic_loader(cfg, max(val_batches, 1), seed=10_000)
     else:
         from .data.h5_loader import make_loaders
 
-        train_loader, val_loader, test_loader = make_loaders(cfg.data, cfg.seed)
-        train_iter_fn = lambda: iter(train_loader)
-        val_iter_fn = lambda: iter(val_loader)
+        # sub-epoch cadence: an "epoch" is limit_train_batches of the packed
+        # file (ref configs/trainer/default.yaml:3), and the LR schedule's
+        # epoch accounting uses the REAL loader length, not a CLI default.
+        # Multi-process runs shard every global batch over hosts so IO
+        # scales with process count (SURVEY.md section 2.2).
+        train_loader, val_loader, test_loader = make_loaders(
+            cfg.data, cfg.seed, limit_train_batches=cfg.limit_train_batches,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
+        )
+        if steps_per_epoch is None:
+            steps_per_epoch = len(train_loader)
+
+        def train_iter_fn(epoch: int = 0):
+            train_loader.set_epoch(epoch)
+            return iter(train_loader)
+
+        def val_iter_fn(epoch: int = 0):
+            return iter(val_loader)
 
     # init params from one batch
     init_batch = next(iter(train_iter_fn() if callable(train_iter_fn) else train_iter_fn))
@@ -168,9 +228,10 @@ def main(argv: Optional[List[str]] = None):
         # epoch, global step and PRNG key — epoch-scheduled teacher forcing
         # and the LR schedule continue exactly where they stopped.
         start_epoch, global_step = 0, 0
-        if resume and ckpt.exists("last"):
-            restored = ckpt.restore(
-                "last",
+        target = _resolve_resume(ckpt, resume, default="last") if resume else None
+        if target is not None:
+            restored = ckpt.restore_trainer_state(
+                target,
                 {"params": params, "opt_state": opt_state,
                  "epoch": np.asarray(0), "global_step": np.asarray(0),
                  "rng": np.asarray(key)},
@@ -180,24 +241,22 @@ def main(argv: Optional[List[str]] = None):
             global_step = int(restored["global_step"])
             key = jnp.asarray(restored["rng"])
             if is_main:
-                print(f"resumed from last checkpoint at epoch {start_epoch}, step {global_step}")
+                print(f"resumed from {target} at epoch {start_epoch}, step {global_step}")
         step_fn = make_jitted_dp_train_step(cfg, model, tx, mesh)
         params = jax.device_put(params, NamedSharding(mesh, P()))
         opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
         validator = Validator(cfg, model, mesh=mesh)
 
+        from .parallel.mesh import put_global_batch
+
         for epoch in range(start_epoch, n_epochs):
-            for batch_np in train_iter_fn():
-                batch = {
-                    k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("data")))
-                    for k, v in batch_np.items()
-                    if not isinstance(v, list)
-                }
+            for batch_np in train_iter_fn(epoch):
+                batch = put_global_batch(batch_np, mesh)
                 key, k_step = jax.random.split(key)
                 with prof.phase("train_step"):
                     params, opt_state, metrics = step_fn(params, opt_state, batch, k_step, epoch)
                 if global_step % 50 == 0 and is_main:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    m = _mean_metrics(metrics)
                     logger.log(m, global_step)
                     print(f"epoch {epoch} step {global_step} loss={m['loss']:.4f}")
                 global_step += 1
@@ -229,11 +288,17 @@ def main(argv: Optional[List[str]] = None):
                     print(f"validation media written: {len(media)} files")
             if is_main:
                 logger.log(val_metrics, global_step, phase="val")
-                state = {"params": params, "opt_state": opt_state,
-                         "epoch": np.asarray(epoch + 1), "global_step": np.asarray(global_step),
-                         "rng": np.asarray(key)}
-                ckpt.save_last(state, global_step, val_metrics)
-                ckpt.save_if_best(state, global_step, val_metrics)
+            # checkpoint saves run on EVERY process: params/opt_state are
+            # sharded over the global mesh and Orbax's save is a collective
+            # (per-process shard writes + a barrier) — gating it on rank 0
+            # would deadlock any multi-host fit. Orbax itself keeps
+            # metadata writes rank-0-only.
+            state = {"params": params, "opt_state": opt_state,
+                     "epoch": np.asarray(epoch + 1), "global_step": np.asarray(global_step),
+                     "rng": np.asarray(key)}
+            ckpt.save_last(state, global_step, val_metrics)
+            ckpt.save_if_best(state, global_step, val_metrics)
+            if is_main:
                 print(f"epoch {epoch} val/loss={val_metrics['val/loss']:.4f}")
         if is_main:
             logger.log(prof.summary(), global_step, phase="profile")
@@ -241,8 +306,9 @@ def main(argv: Optional[List[str]] = None):
     elif action == "validate":
         from .eval.submission import SubWOMD
 
-        if resume and ckpt.exists("best"):
-            params = ckpt.restore("best", {"params": params})["params"]
+        target = _resolve_resume(ckpt, resume, default="best") if resume else None
+        if target is not None:
+            params = ckpt.restore(target, {"params": params})["params"]
         # submission writing during validation (ref waymo_motion.py:657-665,
         # 724-753): both reactive-replay (K=1) and joint-future (K=6) files
         write_subs = os.environ.get("WRITE_SUBMISSIONS", "0").lower() in ("1", "true")
@@ -288,8 +354,9 @@ def main(argv: Optional[List[str]] = None):
         from .evaluation_loop import test_step_device
         from .eval.submission import SubWOMD
 
-        if resume and ckpt.exists("best"):
-            params = ckpt.restore("best", {"params": params})["params"]
+        target = _resolve_resume(ckpt, resume, default="best") if resume else None
+        if target is not None:
+            params = ckpt.restore(target, {"params": params})["params"]
         if synthetic:
             test_iter_fn = synthetic_loader(cfg, max(val_batches, 1), seed=20_000)
         else:

@@ -67,9 +67,30 @@ class CheckpointManager:
                 f, indent=2,
             )
 
+    def _path(self, name: str) -> str:
+        """`name` is either a managed checkpoint name (best/last) or an
+        explicit path to an Orbax checkpoint directory — the analog of the
+        reference's resume.checkpoint flow (ref run.py:33-47)."""
+        if os.path.isdir(name) and not os.path.isdir(os.path.join(self.directory, name)):
+            return os.path.abspath(name)
+        return os.path.join(self.directory, name)
+
     def restore(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
-        path = os.path.join(self.directory, name)
-        return self._ckptr.restore(path, target=target)
+        return self._ckptr.restore(self._path(name), target=target)
+
+    def restore_trainer_state(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
+        """Restore a full trainer state, tolerating checkpoints written
+        before epoch/global_step/rng were part of the state: those restore
+        {params, opt_state} only and keep the target's counters (resume at
+        epoch 0 instead of crashing on a strict template mismatch)."""
+        try:
+            return self._ckptr.restore(self._path(name), target=target)
+        except Exception:
+            slim = {"params": target["params"], "opt_state": target["opt_state"]}
+            restored = self._ckptr.restore(self._path(name), target=slim)
+            out = dict(target)
+            out.update(restored)
+            return out
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(os.path.join(self.directory, name))
+        return os.path.isdir(self._path(name))

@@ -134,6 +134,7 @@ class VisScene:
         episode: Dict[str, np.ndarray],
         prediction: Optional[Dict[str, np.ndarray]] = None,
         step_current: int = 10,
+        title: Optional[str] = None,
     ) -> str:
         """GT video for steps <= step_current, then GT or prediction after.
 
@@ -141,7 +142,8 @@ class VisScene:
         agent/yaw_bbox [T, A, 1], agent/size [A, 3], agent/type, agent/role,
         tl_stop/*; prediction keys (from the rollout buffer, step-major):
         agent/valid [T', A], agent/pos [T', A, 2], agent/yaw_bbox [T', A, 1],
-        optionally violation flags [T', A].
+        optionally violation flags [T', A]. `title` overlays a caption (e.g.
+        the joint-future K index + score, ref log_val_video pred_scores).
         """
         frames = []
         T = episode["agent/valid"].shape[0]
@@ -183,6 +185,10 @@ class VisScene:
                         tl_state=episode["tl_stop/state"][t] if "tl_stop/state" in episode else None,
                     )
                 )
+        if title:
+            for f in frames:
+                cv2.putText(f, title, (8, 18), cv2.FONT_HERSHEY_SIMPLEX,
+                            0.5, (255, 255, 255), 1, cv2.LINE_AA)
         return self.save_video(path, frames)
 
     def save_attention_video(
