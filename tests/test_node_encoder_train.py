@@ -71,15 +71,19 @@ def test_backward_matches_autodiff():
     module, params, weights, x, valid = _setup(seed=2)
     g = jax.random.normal(jax.random.PRNGKey(3), (BP, D), jnp.float32)
 
-    dx_ref = jax.grad(lambda xx: _xla_loss(module, params, xx, valid, g))(x)
-    # XLA weight grads (via the param dict)
-    dw_ref = jax.grad(
-        lambda pp: _xla_loss(module, pp, x, valid, g)
-    )({n: params[n] for n in W_NAMES})
+    # highest matmul precision so the XLA reference's dots are exact f32 on
+    # TPU too (default TPU precision routes f32 dots through bf16 passes —
+    # the kernel computes exact f32, and the tolerance below is tight)
+    with jax.default_matmul_precision("highest"):
+        dx_ref = jax.grad(lambda xx: _xla_loss(module, params, xx, valid, g))(x)
+        # XLA weight grads (via the param dict)
+        dw_ref = jax.grad(
+            lambda pp: _xla_loss(module, pp, x, valid, g)
+        )({n: params[n] for n in W_NAMES})
 
-    dx, dws = jax.grad(
-        lambda xx, ww: _kernel_loss(ww, xx, valid, g), argnums=(0, 1)
-    )(x, weights)
+        dx, dws = jax.grad(
+            lambda xx, ww: _kernel_loss(ww, xx, valid, g), argnums=(0, 1)
+        )(x, weights)
 
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
                                rtol=2e-4, atol=2e-4)
@@ -113,7 +117,8 @@ def test_dropout_backward_vs_exact_mask_oracle():
         pytest.skip(f"TPU PRNG unsupported on this backend: {e}")
     # masks are Bernoulli(1-p)/(1-p): values in {0, 1/(1-p)}
     m = np.asarray(masks[0])
-    assert set(np.round(np.unique(m), 4)) <= {0.0, round(1 / (1 - p), 4)}
+    uniq = np.unique(m)
+    assert all(np.isclose(u, 0.0) or np.isclose(u, 1 / (1 - p)) for u in uniq), uniq
     keep_rate = (m > 0).mean()
     assert 0.6 < keep_rate < 0.8  # ~1-p
 

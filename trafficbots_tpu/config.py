@@ -96,6 +96,9 @@ class MapEncoderConfig:
     # dependency chains let the scheduler overlap one sub-block's VPU
     # phases with another's matmuls (the kernel is chain-latency-bound)
     fused_pipeline_blocks: int = 1
+    # training path: custom-VJP fused kernels with in-kernel dropout
+    # (ops/node_encoder_train.py) instead of the XLA stack + autodiff
+    fused_train_kernel: bool = True
     # bf16 matmul operands inside the node kernel (fp32 accumulation);
     # ~8% kernel-local, off by default to keep exact fp32 parity
     kernel_matmul_bf16: bool = False

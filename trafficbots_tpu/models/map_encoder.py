@@ -95,6 +95,16 @@ class MapEncoder(nn.Module):
                     and jax.default_backend() == "tpu"
                     and (n_scene * n_pl) % (stack.block_pl * max(1, stack.pipeline_blocks)) == 0
                 )
+                # training: the custom-VJP kernel pair with in-kernel
+                # dropout — the node stack is the most expensive module in
+                # the train step and its XLA fwd+BPTT-bwd dominates
+                fused_train_ok = (
+                    not deterministic
+                    and self.cfg.fused_train_kernel
+                    and self.cfg.pool_mode == "max"
+                    and jax.default_backend() == "tpu"
+                    and (n_scene * n_pl) % stack.block_pl == 0
+                )
                 if fused_pool_ok:
                     # the map encoder dominates the eval profile; "hybrid"
                     # runs projections/FFN as big XLA matmuls with a Pallas
@@ -104,6 +114,11 @@ class MapEncoder(nn.Module):
                         pooled = stack.encode_pooled_hybrid(flat, flat_valid)
                     else:
                         pooled = stack.encode_pooled(flat, flat_valid)
+                    pooled_feature = pooled.reshape(n_scene, n_pl, self.hidden_dim)
+                elif fused_train_ok:
+                    key = self.make_rng("dropout") if self.tf_cfg.dropout_p > 0 else jax.random.PRNGKey(0)
+                    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+                    pooled = stack.encode_pooled_train(flat, flat_valid, seed)
                     pooled_feature = pooled.reshape(n_scene, n_pl, self.hidden_dim)
                 else:
                     pooled_feature = None

@@ -213,6 +213,23 @@ class FusedNodeEncoder(nn.Module):
         x = jnp.where(pad[..., None], _NEG, x)
         return jnp.max(x, axis=1)
 
+    # ------------------------------------------------- Pallas (training)
+    def encode_pooled_train(self, x: jnp.ndarray, valid: jnp.ndarray,
+                            seed: jnp.ndarray) -> jnp.ndarray:
+        """Training eval of the fused stack: custom-VJP forward/backward
+        kernels with IN-KERNEL dropout (ops/node_encoder_train.py), so the
+        fused path no longer falls back to XLA when dropout is live. Same
+        weights as every other path; pooled [BP, D] out."""
+        from .node_encoder_train import W_NAMES, node_encoder_train_pooled
+
+        weights = tuple(getattr(self, n).astype(jnp.float32) for n in W_NAMES)
+        vf = valid.astype(jnp.float32)[..., None]
+        return node_encoder_train_pooled(
+            x.astype(jnp.float32), vf, weights, seed,
+            self.n_layer, self.n_head, self.block_pl, float(self.dropout_p),
+            jax.default_backend() != "tpu",
+        )
+
     # --------------------------------------------------------------- Pallas
     def encode_pooled(self, x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """Fused eval path: [BP, N, D], [BP, N] -> pooled [BP, D] (masked max

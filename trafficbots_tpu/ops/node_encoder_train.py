@@ -49,6 +49,16 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 _LN_EPS = 1e-5
 
+# The backward kernel's one-layer-at-a-time recompute peaks ~10 MB of live
+# intermediates at blk 16 — near the default 16 MB scoped-VMEM stack limit.
+# Grant headroom (v5e has 128 MB VMEM); interpret mode rejects the kwarg.
+try:
+    _COMPILER_PARAMS = {
+        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    }
+except Exception:  # older pallas without CompilerParams
+    _COMPILER_PARAMS = {}
+
 # weight tuple layout (matches FusedNodeEncoder param names)
 W_NAMES = (
     "ln1_s", "ln1_b", "lnt_s", "lnt_b", "ln2_s", "ln2_b",
@@ -223,16 +233,22 @@ def _bwd_kernel(x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
     g_pool = g_ref[:]  # [blk, D]
     sites = n_head + 3
 
-    # ---- recompute forward, saving per-layer inputs + intermediates
+    # ---- recompute forward, saving ONLY the per-layer inputs ([R, D] each).
+    # Each layer's full intermediate set (attention maps, dropout masks,
+    # FFN activations — ~10 MB/layer at blk 16) is re-derived inside the
+    # backward walk below, one layer at a time, so at most ONE layer's
+    # intermediates are ever live: saving all layers at once blew the 16 MB
+    # scoped-VMEM stack limit (32.6 MB requested) and the whole train step
+    # failed to compile. The masks regenerate bit-identically from
+    # (seed, grid-step, site) at any recomputation order.
     get_mask = functools.partial(_dropout_mask, p=p, seed_ref=seed_ref)
     x0 = x_in0
-    xs_in, saved_all = [], []
+    xs_in = []
     x = x_in0
     for l in range(n_layer):
         xs_in.append(x)
-        x, saved = _layer_fwd(x, x0, w, l, nv, use_mask, vf, scale, n_head,
-                              d_head, p, get_mask, site0=l * sites, save=True)
-        saved_all.append(saved)
+        x = _layer_fwd(x, x0, w, l, nv, use_mask, vf, scale, n_head,
+                       d_head, p, get_mask, site0=l * sites)
 
     # ---- max-pool backward (ties split evenly, JAX reduce_max VJP).
     # The argmax test MUST use a natively-broadcast max: routing the max
@@ -253,7 +269,9 @@ def _bwd_kernel(x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
     dx0 = jnp.zeros((R, D), jnp.float32)
 
     for l in range(n_layer - 1, -1, -1):
-        s = saved_all[l]
+        _, s = _layer_fwd(xs_in[l], x0, w, l, nv, use_mask, vf, scale,
+                          n_head, d_head, p, get_mask, site0=l * sites,
+                          save=True)
         g2 = g * vf  # x_out = x2 * vf
         # x2 = x1 + do3(f) ; f = fdo@w2 + b2
         df = g2 * s["m3"] if p > 0 else g2
@@ -444,6 +462,7 @@ def _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret):
         ],
         out_specs=pl.BlockSpec((blk, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
+        **_COMPILER_PARAMS,
     )(x, valid_f, *weights, seed_arr)
 
 
@@ -481,6 +500,7 @@ def _vjp_bwd(n_layer, n_head, blk, p, interpret, res, g):
         ],
         out_specs=out_specs,
         interpret=interpret,
+        **_COMPILER_PARAMS,
     )(x, valid_f, *weights, seed_arr, g.astype(jnp.float32))
     return dx, None, tuple(dws), None
 
