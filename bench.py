@@ -16,7 +16,10 @@ wall-clock numbers (BASELINE.md); the baseline constant below is an estimate
 derived from the reference's published training setup: batch 4/GPU with a
 90-step Python-stepped rollout and per-step model of ~6 cross-attn layers
 over 64x(1024+100) tokens at fp16 — ~25k agent-steps/sec for a forward-only
-rollout. Revisit when a measured torch baseline becomes available.
+rollout. tools/bench_torch_reference.py grounds the estimate by timing the
+living reference on this host's CPU (836 agent-steps/s single-thread);
+BASELINE.md documents the CPU->2080 Ti extrapolation band and why 25k
+remains the headline divisor (conservative end of the band).
 
 Prints ONE JSON line.
 """

@@ -106,6 +106,11 @@ class Attention(nn.Module):
     # small-T in-scan blocks the launch overhead dominates instead — those
     # call sites pass allow_fused=False via fused_attention_small_t.
     fused: bool = True
+    # training: custom-VJP kernel pair with in-kernel attention-weight
+    # dropout (ops/attention_train.py) for large-T attention — the eval
+    # core's VJP re-runs the XLA reference in backward, re-materializing
+    # the [B, H, S, T] logits in HBM on every BPTT step
+    fused_train: bool = True
 
     @nn.compact
     def __call__(
@@ -178,7 +183,45 @@ class Attention(nn.Module):
             and S >= 32
             and T >= 64
         )
-        if use_fused:
+        # training path with a REAL backward kernel (+ in-kernel dropout):
+        # large-T only — XLA's bwd is fine for the small-T in-scan blocks,
+        # and the win here is avoiding [B, H, S, 1024] logits round-tripping
+        # HBM in the BPTT backward (PERF.md round-3 scan decomposition)
+        use_fused_train = (
+            self.fused
+            and self.fused_train
+            and allow_fused
+            and not need_weights
+            and not deterministic
+            and jax.default_backend() == "tpu"
+            and S >= 32
+            and T >= 256
+        )
+        if use_fused_train:
+            from ..ops.attention_train import (
+                fused_attention_train, fused_attention_train_fits,
+            )
+
+            if fused_attention_train_fits(B, S, T, self.d_model):
+                inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)
+                if self.dropout_p > 0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                else:
+                    seed = jnp.zeros((), jnp.int32)
+                out = fused_attention_train(
+                    q.astype(jnp.float32), k.astype(jnp.float32),
+                    v.astype(jnp.float32), inv, seed,
+                    self.n_head, float(self.dropout_p),
+                )
+                attn = None
+                use_fused = False
+            else:
+                use_fused_train = False
+        if use_fused_train:
+            pass
+        elif use_fused:
             from ..ops.fused_attention import fused_attention_core
 
             inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)

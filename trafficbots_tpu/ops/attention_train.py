@@ -1,0 +1,264 @@
+"""Training-path fused masked attention: custom-VJP Pallas kernel pair.
+
+Round-3 decomposition (PERF.md): after the node-encoder train kernels, the
+90-step rollout scan's forward+backward is the largest block of the train
+step (~430 of 886 ms @ batch 32). Its backward is dominated by the in-scan
+agents->map cross-attention (S=64 queries, T=1024 map tokens, 3 layers,
+x90 steps): the eval fused core (ops/fused_attention.py) keeps scores in
+VMEM only on the FORWARD — its custom VJP re-runs the plain-XLA reference
+and differentiates that, so under BPTT every step re-materializes the
+[B, H, S, T] logits in HBM several times (remat recompute + d_attn + dS).
+
+This module gives the attention core a REAL backward kernel: dq/dk/dv are
+computed per scene block with logits/attn recomputed in VMEM
+(flash-attention-style rematerialization), so no [S, T] matrix ever
+touches HBM in either direction. Attention-weight dropout runs INSIDE the
+kernels via the TPU PRNG, re-seeded per (seed, grid-step, head) exactly
+like ops/node_encoder_train.py, so forward and backward regenerate
+identical masks without storing them — and the fused path no longer
+disables itself when dropout is live (the reference applies
+nn.Dropout to the softmax weights, ref attention.py:109-111 /
+models/modules.py Attention; same Bernoulli(1-p)/(1-p) distribution,
+different bits — documented in docs/divergences.md).
+
+Semantics match models/modules.Attention exactly at p=0, including the
+all-invalid-row NaN guard (ref attention.py:101-107,144-146): guard rows
+are computed with the mask lifted and their OUTPUT zeroed, and the same
+zeroing is applied to the incoming cotangent in the backward (the XLA
+autodiff of `jnp.where(no_valid, 0, out)` does exactly that).
+
+Backward math (softmax/dropout/matmul VJPs, per head):
+    out_h = (attn_h * m_h) @ v_h,  attn_h = softmax(q_h k_h^T * scale + M)
+    dv_h    = (attn_h * m_h)^T @ g_h
+    d_attn  = (g_h @ v_h^T) * m_h
+    dS      = attn_h * (d_attn - rowsum(d_attn * attn_h))
+    dq_h    = dS @ k_h * scale ;  dk_h = dS^T @ q_h * scale
+(The additive -1e30 mask M is constant => contributes nothing to dS.)
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+try:
+    _COMPILER_PARAMS = {
+        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    }
+except Exception:  # pragma: no cover - older pallas
+    _COMPILER_PARAMS = {}
+
+
+def _dropout_mask(shape, site: int, p: float, seed_ref):
+    """Inverted-dropout mask regenerable at any walk order: re-seeded per
+    (seed, grid-step, site). Same recipe as ops/node_encoder_train.py."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * 1024 + site)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = np.uint32(min(int(p * 2**32), 2**32 - 1))
+    keep = (bits >= thresh).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - p))
+
+
+def _scene_consts(inv):
+    """inv [S, T] float 1.0=masked -> (no_valid [S,1], use_mask [S,T])."""
+    no_valid = jnp.min(inv, axis=-1, keepdims=True)  # 1.0 iff ALL masked
+    use_mask = inv * (1.0 - no_valid)  # NaN guard: lift mask on dead rows
+    return no_valid, use_mask
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+                *, n_head: int, block_b: int, p: float):
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+    for b in range(block_b):
+        q, k, v = q_ref[b], k_ref[b], v_ref[b]
+        inv = inv_ref[b].astype(jnp.float32)
+        no_valid, use_mask = _scene_consts(inv)
+        outs = []
+        for h in range(n_head):
+            sl = slice(h * d_head, (h + 1) * d_head)
+            logits = jax.lax.dot_general(
+                q[:, sl], k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale + use_mask * jnp.float32(_NEG)
+            attn = jax.nn.softmax(logits, axis=-1)
+            if p > 0:
+                attn = attn * _dropout_mask(attn.shape, b * n_head + h, p, seed_ref)
+            outs.append(jnp.dot(attn, v[:, sl], preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1)
+        o_ref[b] = o * (1.0 - no_valid)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, n_head: int, block_b: int, p: float):
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+    for b in range(block_b):
+        q, k, v = q_ref[b], k_ref[b], v_ref[b]
+        inv = inv_ref[b].astype(jnp.float32)
+        no_valid, use_mask = _scene_consts(inv)
+        g = g_ref[b] * (1.0 - no_valid)  # VJP of the guard-row output zeroing
+        dqs, dks, dvs = [], [], []
+        for h in range(n_head):
+            sl = slice(h * d_head, (h + 1) * d_head)
+            logits = jax.lax.dot_general(
+                q[:, sl], k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale + use_mask * jnp.float32(_NEG)
+            attn = jax.nn.softmax(logits, axis=-1)  # [S, T]
+            g_h = g[:, sl]
+            if p > 0:
+                m = _dropout_mask(attn.shape, b * n_head + h, p, seed_ref)
+                attn_do = attn * m
+            else:
+                m = None
+                attn_do = attn
+            # dv = attn_do^T @ g_h
+            dvs.append(jax.lax.dot_general(
+                attn_do, g_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            # d_attn = g_h @ v_h^T (through the dropout scaling)
+            dattn = jax.lax.dot_general(
+                g_h, v[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if m is not None:
+                dattn = dattn * m
+            dS = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+            dqs.append(jnp.dot(dS, k[:, sl], preferred_element_type=jnp.float32) * scale)
+            dks.append(jax.lax.dot_general(
+                dS, q[:, sl], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale)
+        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+
+
+def _pick_block(B, S, T, D, itemsize=4):
+    """Scenes per grid step, bounded by the backward's VMEM working set
+    (k/v + dk/dv [T, D] x4, q/g/dq [S, D], one head's [S, T] temporaries
+    x~4, masks) under the 64 MB limit with headroom."""
+    per_scene = 4 * T * D * itemsize + 4 * S * D * itemsize + 6 * S * T * itemsize
+    return next((g for g in (8, 4, 2, 1) if B % g == 0 and g * per_scene < 24 * 2**20), None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention_train(q, k, v, invalid, seed, n_head: int, p: float):
+    """Differentiable masked MHA core with in-kernel attention dropout.
+
+    q [B,S,D], k/v [B,T,D] fp32; invalid [B,S,T] bool (True = disallowed
+    target); seed: int32 scalar (may be traced — derived from the flax
+    dropout rng per call, so every scan step draws fresh masks). Returns
+    [B,S,D]. Use only when fused_attention_train_fits (caller gates);
+    p=0 skips the PRNG entirely (works in interpret mode).
+    """
+    return _call_fwd(q, k, v, invalid, n_head, p, seed)
+
+
+def _call_fwd(q, k, v, invalid, n_head, p, seed):
+    B, S, D = q.shape
+    T = k.shape[1]
+    G = _pick_block(B, S, T, D)
+    assert G is not None, "caller must gate on fused_attention_train_fits"
+    interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_fwd_kernel, n_head=n_head, block_b=G, p=p)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), jnp.float32),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **_COMPILER_PARAMS,
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+      invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1))
+
+
+def fused_attention_train_fits(B, S, T, D) -> bool:
+    return _pick_block(B, S, T, D) is not None
+
+
+def _vjp_fwd(q, k, v, invalid, seed, n_head, p):
+    return _call_fwd(q, k, v, invalid, n_head, p, seed), (q, k, v, invalid, seed)
+
+
+def _vjp_bwd(n_head, p, res, g):
+    q, k, v, invalid, seed = res
+    B, S, D = q.shape
+    T = k.shape[1]
+    G = _pick_block(B, S, T, D)
+    interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_bwd_kernel, n_head=n_head, block_b=G, p=p)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        ),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        **_COMPILER_PARAMS,
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+      invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1),
+      g.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
+
+
+fused_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def dump_attn_dropout_masks(B, S, T, n_head, p, seed, G=None, interpret=False):
+    """Regenerate the exact per-(scene, head) dropout masks the train
+    kernels draw — test support for the exact-mask oracle. Returns
+    [B, n_head, S, T]."""
+    if G is None:
+        G = _pick_block(B, S, T, 128)
+
+    def kernel(seed_ref, m_ref):
+        for b in range(G):
+            for h in range(n_head):
+                m_ref[b, h] = _dropout_mask((S, T), b * n_head + h, p, seed_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        out_shape=jax.ShapeDtypeStruct((B, n_head, S, T), jnp.float32),
+        in_specs=[pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((G, n_head, S, T), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **_COMPILER_PARAMS,
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
