@@ -64,7 +64,96 @@ def test_backward_matches_autodiff():
 
 def test_fits_gate():
     assert fused_attention_train_fits(32, 64, 1024, 128)  # the as2pl shape
-    assert not fused_attention_train_fits(1, 8192, 8192, 128)
+    assert fused_attention_train_fits(32, 1216, 1024, 128)  # latent as2pl (qb path)
+    assert not fused_attention_train_fits(1, 8191, 65536, 128)
+
+
+# query-blocked shape: dense _pick_block must reject it so the qb kernels run
+QB_B, QB_S, QB_T, QB_D = 2, 768, 1536, 64
+
+
+def test_query_blocked_forward_and_backward():
+    from trafficbots_tpu.ops.attention_train import _pick_block, _pick_sblock
+
+    assert _pick_block(QB_B, QB_S, QB_T, QB_D) is None
+    assert _pick_sblock(QB_S, QB_T, QB_D) is not None
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (QB_B, QB_S, QB_D), jnp.float32)
+    k = jax.random.normal(ks[1], (QB_B, QB_T, QB_D), jnp.float32)
+    v = jax.random.normal(ks[2], (QB_B, QB_T, QB_D), jnp.float32)
+    invalid = jax.random.bernoulli(ks[3], 0.3, (QB_B, QB_S, QB_T))
+    invalid = invalid.at[1, 5].set(True)  # NaN-guard row
+    g = jax.random.normal(jax.random.PRNGKey(8), (QB_B, QB_S, QB_D), jnp.float32)
+
+    with jax.default_matmul_precision("highest"):
+        ref = _xla_reference(q, k, v, invalid, H)
+        out = fused_attention_train(q, k, v, invalid, jnp.zeros((), jnp.int32), H, 0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+        assert np.all(np.asarray(out)[1, 5] == 0.0)
+
+        ref_grads = jax.grad(
+            lambda q_, k_, v_: jnp.sum(_xla_reference(q_, k_, v_, invalid, H) * g),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        ker_grads = jax.grad(
+            lambda q_, k_, v_: jnp.sum(
+                fused_attention_train(q_, k_, v_, invalid, jnp.zeros((), jnp.int32), H, 0.0) * g
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    for name, a, b in zip("qkv", ker_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"qb d{name} mismatch",
+        )
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU PRNG")
+def test_query_blocked_dropout_vs_mask_oracle():
+    from trafficbots_tpu.ops.attention_train import dump_attn_dropout_masks_qb
+
+    p = 0.3
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (QB_B, QB_S, QB_D), jnp.float32)
+    k = jax.random.normal(ks[1], (QB_B, QB_T, QB_D), jnp.float32)
+    v = jax.random.normal(ks[2], (QB_B, QB_T, QB_D), jnp.float32)
+    invalid = jax.random.bernoulli(ks[3], 0.3, (QB_B, QB_S, QB_T))
+    seed = jnp.asarray(77, jnp.int32)
+    masks = dump_attn_dropout_masks_qb(QB_B, QB_S, QB_T, QB_D, H, p, int(seed))
+
+    def oracle(q_, k_, v_):
+        d_head = QB_D // H
+        qh = q_.reshape(QB_B, QB_S, H, d_head)
+        kh = k_.reshape(QB_B, QB_T, H, d_head)
+        vh = v_.reshape(QB_B, QB_T, H, d_head)
+        logits = jnp.einsum("bshd,bthd->bhst", qh, kh).astype(jnp.float32)
+        no_valid = jnp.all(invalid, axis=-1)
+        use_mask = invalid & (~no_valid[..., None])
+        logits = jnp.where(use_mask[:, None], -jnp.inf, logits)
+        attn = jax.nn.softmax(logits / np.sqrt(d_head), axis=-1) * masks
+        out = jnp.einsum("bhst,bthd->bshd", attn, vh).reshape(QB_B, QB_S, QB_D)
+        return jnp.where(no_valid[..., None], 0.0, out)
+
+    g = jax.random.normal(jax.random.PRNGKey(12), (QB_B, QB_S, QB_D), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        np.testing.assert_allclose(
+            np.asarray(fused_attention_train(q, k, v, invalid, seed, H, p)),
+            np.asarray(oracle(q, k, v)), rtol=2e-4, atol=2e-4)
+        ref_grads = jax.grad(
+            lambda q_, k_, v_: jnp.sum(oracle(q_, k_, v_) * g), argnums=(0, 1, 2)
+        )(q, k, v)
+        ker_grads = jax.grad(
+            lambda q_, k_, v_: jnp.sum(
+                fused_attention_train(q_, k_, v_, invalid, seed, H, p) * g
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    for name, a, b in zip("qkv", ker_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"qb d{name} mismatch under dropout",
+        )
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU PRNG")

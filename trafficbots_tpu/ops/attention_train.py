@@ -56,10 +56,13 @@ except Exception:  # pragma: no cover - older pallas
     _COMPILER_PARAMS = {}
 
 
-def _dropout_mask(shape, site: int, p: float, seed_ref):
+def _dropout_mask(shape, idx, p: float, seed_ref):
     """Inverted-dropout mask regenerable at any walk order: re-seeded per
-    (seed, grid-step, site). Same recipe as ops/node_encoder_train.py."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * 1024 + site)
+    (seed, absolute site index). Same recipe as ops/node_encoder_train.py;
+    `idx` must be computed identically by the forward and backward kernels
+    (dense path: grid-step * 1024 + scene-in-block * n_head + head;
+    query-blocked path: (scene * n_sblocks + sblock) * 64 + head)."""
+    pltpu.prng_seed(seed_ref[0], idx)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     thresh = np.uint32(min(int(p * 2**32), 2**32 - 1))
     keep = (bits >= thresh).astype(jnp.float32)
@@ -92,7 +95,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
             logits = logits * scale + use_mask * jnp.float32(_NEG)
             attn = jax.nn.softmax(logits, axis=-1)
             if p > 0:
-                attn = attn * _dropout_mask(attn.shape, b * n_head + h, p, seed_ref)
+                attn = attn * _dropout_mask(attn.shape, pl.program_id(0) * 1024 + b * n_head + h, p, seed_ref)
             outs.append(jnp.dot(attn, v[:, sl], preferred_element_type=jnp.float32))
         o = jnp.concatenate(outs, axis=-1)
         o_ref[b] = o * (1.0 - no_valid)
@@ -119,7 +122,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
             attn = jax.nn.softmax(logits, axis=-1)  # [S, T]
             g_h = g[:, sl]
             if p > 0:
-                m = _dropout_mask(attn.shape, b * n_head + h, p, seed_ref)
+                m = _dropout_mask(attn.shape, pl.program_id(0) * 1024 + b * n_head + h, p, seed_ref)
                 attn_do = attn * m
             else:
                 m = None
@@ -155,6 +158,100 @@ def _pick_block(B, S, T, D, itemsize=4):
     return next((g for g in (8, 4, 2, 1) if B % g == 0 and g * per_scene < 24 * 2**20), None)
 
 
+def _pick_sblock(S, T, D, itemsize=4):
+    """Query-block rows per grid step for scenes too big for _pick_block
+    (episode-level attentions, e.g. the latent as2pl at S=1216 x T=1024):
+    k/v stay whole per scene, each grid step handles an SB-row query slice
+    plus the shared dk/dv accumulators."""
+    def fits(sb):
+        return (4 * T * D + 3 * sb * D + 6 * sb * T) * itemsize < 24 * 2**20
+
+    return next((sb for sb in (256, 128, 64, 32) if S % sb == 0 and fits(sb)), None)
+
+
+# ----------------------------------------------------- query-blocked kernels
+def _qb_site(h):
+    # absolute dropout-site index for query-blocked grids: (scene, s-block)
+    # folded so no two (scene, s-block, head) triples collide
+    return (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * 64 + h
+
+
+def _fwd_kernel_qb(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+                   *, n_head: int, p: float):
+    """Grid (B, S/SB): one scene's k/v whole, one SB-row query slice. The
+    NaN guard is row-local, so it works per slice unchanged."""
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    inv = inv_ref[0].astype(jnp.float32)
+    no_valid, use_mask = _scene_consts(inv)
+    outs = []
+    for h in range(n_head):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale + use_mask * jnp.float32(_NEG)
+        attn = jax.nn.softmax(logits, axis=-1)
+        if p > 0:
+            attn = attn * _dropout_mask(attn.shape, _qb_site(h), p, seed_ref)
+        outs.append(jnp.dot(attn, v[:, sl], preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=-1) * (1.0 - no_valid)
+
+
+def _bwd_kernel_qb(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+                   dq_ref, dk_ref, dv_ref, *, n_head: int, p: float):
+    """Query-blocked backward: dq per slice; dk/dv accumulate across the
+    s-blocks of one scene (the inner grid dim — TPU grids run sequentially,
+    and the dk/dv output block is revisited for every s of the same b)."""
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    inv = inv_ref[0].astype(jnp.float32)
+    no_valid, use_mask = _scene_consts(inv)
+    g = g_ref[0] * (1.0 - no_valid)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dqs = []
+    for h in range(n_head):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale + use_mask * jnp.float32(_NEG)
+        attn = jax.nn.softmax(logits, axis=-1)
+        g_h = g[:, sl]
+        if p > 0:
+            m = _dropout_mask(attn.shape, _qb_site(h), p, seed_ref)
+            attn_do = attn * m
+        else:
+            m = None
+            attn_do = attn
+        dv_ref[0, :, h * d_head:(h + 1) * d_head] += jax.lax.dot_general(
+            attn_do, g_h, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dattn = jax.lax.dot_general(
+            g_h, v[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if m is not None:
+            dattn = dattn * m
+        dS = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        dqs.append(jnp.dot(dS, k[:, sl], preferred_element_type=jnp.float32) * scale)
+        dk_ref[0, :, h * d_head:(h + 1) * d_head] += jax.lax.dot_general(
+            dS, q[:, sl], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_attention_train(q, k, v, invalid, seed, n_head: int, p: float):
     """Differentiable masked MHA core with in-kernel attention dropout.
@@ -172,8 +269,27 @@ def _call_fwd(q, k, v, invalid, n_head, p, seed):
     B, S, D = q.shape
     T = k.shape[1]
     G = _pick_block(B, S, T, D)
-    assert G is not None, "caller must gate on fused_attention_train_fits"
     interpret = jax.default_backend() != "tpu"
+    if G is None:
+        SB = _pick_sblock(S, T, D)
+        assert SB is not None, "caller must gate on fused_attention_train_fits"
+        kernel = functools.partial(_fwd_kernel_qb, n_head=n_head, p=p)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, S, D), jnp.float32),
+            grid=(B, S // SB),
+            in_specs=[
+                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SB, T), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+            **_COMPILER_PARAMS,
+        )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+          invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1))
     kernel = functools.partial(_fwd_kernel, n_head=n_head, block_b=G, p=p)
     return pl.pallas_call(
         kernel,
@@ -194,7 +310,7 @@ def _call_fwd(q, k, v, invalid, n_head, p, seed):
 
 
 def fused_attention_train_fits(B, S, T, D) -> bool:
-    return _pick_block(B, S, T, D) is not None
+    return _pick_block(B, S, T, D) is not None or _pick_sblock(S, T, D) is not None
 
 
 def _vjp_fwd(q, k, v, invalid, seed, n_head, p):
@@ -207,6 +323,38 @@ def _vjp_bwd(n_head, p, res, g):
     T = k.shape[1]
     G = _pick_block(B, S, T, D)
     interpret = jax.default_backend() != "tpu"
+    if G is None:
+        SB = _pick_sblock(S, T, D)
+        kernel = functools.partial(_bwd_kernel_qb, n_head=n_head, p=p)
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, S, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+            ),
+            grid=(B, S // SB),
+            in_specs=[
+                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SB, T), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+                # dk/dv: one block per scene, revisited (and accumulated)
+                # across the inner s-grid — TPU grids run sequentially
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+            **_COMPILER_PARAMS,
+        )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+          invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1),
+          g.astype(jnp.float32))
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
     kernel = functools.partial(_bwd_kernel, n_head=n_head, block_b=G, p=p)
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -250,7 +398,7 @@ def dump_attn_dropout_masks(B, S, T, n_head, p, seed, G=None, interpret=False):
     def kernel(seed_ref, m_ref):
         for b in range(G):
             for h in range(n_head):
-                m_ref[b, h] = _dropout_mask((S, T), b * n_head + h, p, seed_ref)
+                m_ref[b, h] = _dropout_mask((S, T), pl.program_id(0) * 1024 + b * n_head + h, p, seed_ref)
 
     return pl.pallas_call(
         kernel,
@@ -258,6 +406,27 @@ def dump_attn_dropout_masks(B, S, T, n_head, p, seed, G=None, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, n_head, S, T), jnp.float32),
         in_specs=[pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((G, n_head, S, T), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **_COMPILER_PARAMS,
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+
+
+def dump_attn_dropout_masks_qb(B, S, T, D, n_head, p, seed, interpret=False):
+    """Mask dump for the query-blocked path (same (scene, s-block, head)
+    seeding as the qb kernels). Returns [B, n_head, S, T]."""
+    SB = _pick_sblock(S, T, D)
+
+    def kernel(seed_ref, m_ref):
+        for h in range(n_head):
+            m_ref[0, h] = _dropout_mask((SB, T), _qb_site(h), p, seed_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S // SB),
+        out_shape=jax.ShapeDtypeStruct((B, n_head, S, T), jnp.float32),
+        in_specs=[pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, n_head, SB, T), lambda b, s: (b, 0, s, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **_COMPILER_PARAMS,
