@@ -76,7 +76,19 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def restore(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
-        return self._ckptr.restore(self._path(name), target=target)
+        """Restore `target`'s keys, tolerating checkpoints that carry MORE
+        state than requested — e.g. a fit's `last` (full trainer state with
+        epoch/rng) restored params-only by validate/test (the reference's
+        `resume.checkpoint` submission recipe, ref run.py:33-47). Orbax's
+        StandardCheckpointer rejects a target that is a strict subset of the
+        stored tree, so fall back to reading the full tree and selecting."""
+        try:
+            return self._ckptr.restore(self._path(name), target=target)
+        except ValueError:
+            full = self._ckptr.restore(self._path(name), target=None)
+            if any(k not in full for k in target):
+                raise
+            return {k: full[k] for k in target}
 
     def restore_trainer_state(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
         """Restore a full trainer state, tolerating checkpoints written
