@@ -116,12 +116,16 @@ class DestPredictor(nn.Module):
             )(map_rep.reshape(S, A, P, d), deterministic=deterministic)[..., 0]
         elif self.mode == "mlp":
             tgt, _ = gru_then_aggregate(agent_feature)  # [S, A, d]
-            src = jnp.broadcast_to(map_feature[:, None], (S, A, P, d))
-            tgt_exp = jnp.broadcast_to(tgt[:, :, None], (S, A, P, d))
+            # factored pair input: fc0(concat(map-per-pl, agent-per-ag)) runs
+            # as two small matmuls + broadcast-add — the [S, A, P, 2d] concat
+            # of ref goal_manager.py:294-300 never materializes (~2 GB and
+            # ~400 redundant GFLOPs per train step at full scale)
             logits = MLP(
                 [hidden, hidden, 1], end_layer_activation=False,
                 use_layernorm=self.use_layernorm, dropout_p=None, name="mlp",
-            )(jnp.concatenate([src, tgt_exp], axis=-1), deterministic=deterministic)[..., 0]
+            )(
+                (map_feature[:, None], tgt[:, :, None]), deterministic=deterministic
+            )[..., 0]
         elif self.mode == "attn":
             src, _ = gru_then_aggregate(agent_feature)  # [S, A, d]
             _, probs = Attention(

@@ -41,6 +41,36 @@ def _activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     }[name]
 
 
+class _PairDense(nn.Module):
+    """First MLP layer over an IMPLICIT concat of two broadcast factors.
+
+    `Dense(concat([broadcast(src), broadcast(tgt)], -1))` factors exactly into
+    `src @ kernel[:d_src] + tgt @ kernel[d_src:] + bias` with the matmuls on
+    the UN-broadcast factors — the pair tensor only materializes at the
+    (cheap) broadcast-add. For the dest-predictor head this removes the
+    [S, A, P, 2d] concat (~2 GB at train scale) and shrinks the first-layer
+    matmul FLOPs by the broadcast factor in both directions of autodiff.
+    Param tree is identical to `nn.Dense` (kernel [d_src+d_tgt, features],
+    bias [features]), so checkpoints and parity-test weight transfer are
+    unaffected.
+    """
+
+    features: int
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+        d_src, d_tgt = src.shape[-1], tgt.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_src + d_tgt, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.compute_dtype)
+        a = src.astype(self.compute_dtype) @ kernel[:d_src]
+        b = tgt.astype(self.compute_dtype) @ kernel[d_src:]
+        return a + b + bias.astype(self.compute_dtype)
+
+
 class MLP(nn.Module):
     """Linear stack with optional layernorm/dropout.
 
@@ -48,6 +78,11 @@ class MLP(nn.Module):
     applied to the *pre-activation* output of the last layer, then the
     end-layer activation runs on the masked tensor — so invalid rows hold
     act(fill_invalid), not 0.
+
+    `x` may be a tuple `(src, tgt)` of broadcast-compatible arrays standing
+    for `concat([broadcast(src), broadcast(tgt)], -1)`: the first layer then
+    runs factored (`_PairDense`, same "fc0" param tree) so the concat never
+    materializes. Semantically identical up to fp32 summation order.
     """
 
     fc_dims: Sequence[int]  # output dims of each layer (input dim inferred)
@@ -67,9 +102,19 @@ class MLP(nn.Module):
     ) -> jnp.ndarray:
         act = _activation(self.activation)
         n = len(self.fc_dims)
-        in_dtype = x.dtype
+        if isinstance(x, tuple):
+            src, tgt = x
+            in_dtype = src.dtype
+            x = _PairDense(self.fc_dims[0], compute_dtype=self.compute_dtype, name="fc0")(
+                src, tgt
+            )
+            first_done = True
+        else:
+            in_dtype = x.dtype
+            first_done = False
         for i, dim in enumerate(self.fc_dims):
-            x = nn.Dense(dim, name=f"fc{i}", dtype=self.compute_dtype)(x)
+            if not (first_done and i == 0):
+                x = nn.Dense(dim, name=f"fc{i}", dtype=self.compute_dtype)(x)
             is_last = i == n - 1
             if not is_last or self.end_layer_activation:
                 if self.use_layernorm:
