@@ -544,6 +544,17 @@ class InputPeEncoder(nn.Module):
     def __call__(
         self, valid: jnp.ndarray, attr: jnp.ndarray, pe: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        if isinstance(attr, tuple) and self.pe_mode == "input":
+            # pair-factored attrs can't join the PE concat — materialize
+            a, b = attr
+            shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+            attr = jnp.concatenate(
+                [
+                    jnp.broadcast_to(a, shape + a.shape[-1:]),
+                    jnp.broadcast_to(b, shape + b.shape[-1:]),
+                ],
+                axis=-1,
+            )
         if self.pe_mode == "input":
             out_dim = self.hidden_dim
             x_in = jnp.concatenate([attr, pe], axis=-1)

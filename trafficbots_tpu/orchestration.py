@@ -107,12 +107,30 @@ def encode_episode_features(
         # reference's independent per-view dropout draws
         # (ref waymo_motion.py:366-368).
         share_map_encoding = "latent_perturbed" not in batch
+    # factored map attrs: input/map_attr is concat(type-one-hot broadcast
+    # over nodes, node-index eye broadcast over scenes/polylines) — identical
+    # across all views (one-hots are SE(2)-invariant, preprocessing.py:210).
+    # Feeding the UN-broadcast factors as an MLP pair input lets fc0 run as
+    # an [11]-matmul + a row-table add; the [B, P, N, 31] contract tensor
+    # goes unconsumed and XLA dead-code-eliminates it from jitted programs
+    # (it still exists for direct users of the pre-processing contract).
+    map_attr_pair = None
+    if "sc/map_type" in batch and "input/map_attr" in batch:
+        ma = batch["input/map_attr"]
+        n_node = ma.shape[2]
+        if ma.shape[-1] == batch["sc/map_type"].shape[-1] + n_node:
+            map_attr_pair = (
+                batch["sc/map_type"].astype(ma.dtype)[:, :, None, :],
+                jnp.eye(n_node, dtype=ma.dtype)[None, None],
+            )
     out = {}
     shared_map = None
     for prefix in ("input", "latent_post", "latent_prior"):
         if f"{prefix}/agent_valid" not in batch:
             continue
         view = extract(batch, prefix)
+        if map_attr_pair is not None and "map_attr" in view:
+            view["map_attr"] = map_attr_pair
         if share_map_encoding and shared_map is not None:
             view["map_feature"], view["map_feature_valid"] = shared_map
         out[prefix] = model.apply(
