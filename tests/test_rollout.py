@@ -117,6 +117,29 @@ def test_training_value_and_grad(setup):
     assert np.isfinite(total) and total > 0
 
 
+def test_remat_policy_grad_equivalence(setup):
+    """remat_policy only changes WHAT the backward rematerializes, never the
+    math: gradients under "save_attn" must equal the default "none" policy."""
+    import dataclasses
+
+    cfg, model, params, batch = setup
+
+    def grads_for(c):
+        def loss_fn(p):
+            loss, _ = O.training_step(c, model, p, batch, jax.random.PRNGKey(3))
+            return loss
+
+        return jax.jit(jax.grad(loss_fn))(params)
+
+    g_none = grads_for(cfg)
+    g_attn = grads_for(dataclasses.replace(cfg, remat_policy="save_attn"))
+    # tolerance: the policies compile different backward programs, so fp32
+    # fusion/summation order differs (measured max |delta| ~2e-7); anything
+    # beyond that is a real math divergence
+    for a, b in zip(jax.tree.leaves(g_none), jax.tree.leaves(g_attn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-6)
+
+
 def test_joint_future_pred(setup):
     cfg, model, params, batch = setup
 

@@ -400,6 +400,13 @@ class ExperimentConfig:
     # rematerialize the rollout scan body in the training backward pass
     # (memory O(1 step) instead of O(90 steps); SURVEY.md hard part #2)
     remat_rollout_step: bool = True
+    # what the remat saves: "none" recomputes the whole step forward in the
+    # backward pass; "save_attn" additionally saves each attention core's
+    # output ([B, A, d] per layer per step — ~1 MB/step at batch 32), so the
+    # remat re-forward skips the attention kernels whose custom VJP already
+    # recomputes logits in-VMEM during the backward (avoiding the double
+    # recompute). Gradients are identical either way.
+    remat_policy: str = "none"  # none | save_attn
 
 
 # ---------------------------------------------------------------------------

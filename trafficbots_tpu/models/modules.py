@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -293,6 +294,9 @@ class Attention(nn.Module):
                 attn = nn.Dropout(self.dropout_p, name="attn_do")(attn, deterministic=deterministic)
             out = jnp.einsum("bhst,bthd->bshd", attn.astype(vh.dtype), vh).reshape(B, S, self.d_model)
 
+        # remat tag: under remat_policy="save_attn" the rollout scan saves
+        # this tensor so its backward re-forward skips the attention core
+        out = checkpoint_name(out, "attn_core")
         out = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj", dtype=self.compute_dtype)(out)
         out = out.astype(src.dtype)
 

@@ -452,8 +452,14 @@ def rollout(
         # Rematerialize the policy step in the backward pass: BPTT over 90
         # steps keeps O(carry) memory instead of O(steps x activations)
         # (SURVEY.md hard part #2), trading ~1 extra forward for the ability
-        # to scale batch per chip.
-        body = jax.checkpoint(body, prevent_cse=False)
+        # to scale batch per chip. remat_policy="save_attn" keeps each
+        # attention core's output as a residual so the re-forward skips the
+        # attention kernels (their custom VJP recomputes in-VMEM anyway).
+        if cfg.remat_policy == "save_attn":
+            policy = jax.checkpoint_policies.save_only_these_names("attn_core")
+            body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        else:
+            body = jax.checkpoint(body, prevent_cse=False)
     _, ys = jax.lax.scan(body, carry0, xs)
 
     def to_batch_major(x):
