@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-3 measurement sequence (run when the TPU tunnel is live).
+# Each step appends to /tmp/r3_measure.log; safe to re-run (compile cache).
+set -uo pipefail
+LOG=/tmp/r3_measure.log
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== $* ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
+  timeout "${STEP_TIMEOUT:-2400}" "$@" 2>&1 | tail -6 | tee -a "$LOG"
+}
+
+# 1. headline eval bench (also primes the driver's compile cache)
+run env BENCH_TRAIN=0 python bench.py
+# 2. full bench incl. train step (dest-head factoring landed since r2)
+run python bench.py
+# 3. pre-processing decomposition (PE relayout fix verification)
+run env BENCH_N_SCENE=64 python tools/profile_pre.py
+# 4. batch-256 eval A/B (dispatch amortization)
+run env BENCH_TRAIN=0 BENCH_N_SCENE=256 python bench.py
+# 5. train-step remat policy A/B
+run env VARIANTS=base,save_attn python tools/profile_train.py
+echo "=== done ($(date +%H:%M:%S)) ===" | tee -a "$LOG"

@@ -12,7 +12,8 @@ forward; this measures where the gap lives before pulling levers:
   bf16         : full step with precision=bf16 (encoder compute dtype)
   no_do_bf16   : both of the above
 
-Env: BENCH_N_SCENE (default 32), N_ITER (default 4).
+Env: BENCH_N_SCENE (default 32), N_ITER (default 4), VARIANTS (comma list to
+run a subset, e.g. VARIANTS=base,save_attn).
 """
 import sys as _sys, os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -97,15 +98,26 @@ def main():
             print(f"{label}: FAILED {type(e).__name__}: {e}", flush=True)
             return None
 
-    out = {"n_scene": n_scene}
-    out["base"] = time_step(base_cfg, "base")
-    out["fwd"] = time_step(base_cfg, "fwd", forward_only=True)
-    out["no_remat"] = time_step(dataclasses.replace(base_cfg, remat_rollout_step=False), "no_remat")
     nd = no_dropout(base_cfg)
-    out["no_dropout"] = time_step(nd, "no_dropout")
-    out["no_dropout_fwd"] = time_step(nd, "no_dropout_fwd", forward_only=True)
-    out["bf16"] = time_step(dataclasses.replace(base_cfg, precision="bf16"), "bf16")
-    out["no_do_bf16"] = time_step(dataclasses.replace(nd, precision="bf16"), "no_do_bf16")
+    variants = {
+        "base": lambda: time_step(base_cfg, "base"),
+        "fwd": lambda: time_step(base_cfg, "fwd", forward_only=True),
+        "no_remat": lambda: time_step(
+            dataclasses.replace(base_cfg, remat_rollout_step=False), "no_remat"
+        ),
+        "save_attn": lambda: time_step(
+            dataclasses.replace(base_cfg, remat_policy="save_attn"), "save_attn"
+        ),
+        "no_dropout": lambda: time_step(nd, "no_dropout"),
+        "no_dropout_fwd": lambda: time_step(nd, "no_dropout_fwd", forward_only=True),
+        "bf16": lambda: time_step(dataclasses.replace(base_cfg, precision="bf16"), "bf16"),
+        "no_do_bf16": lambda: time_step(dataclasses.replace(nd, precision="bf16"), "no_do_bf16"),
+    }
+    sel = os.environ.get("VARIANTS")
+    names = [n.strip() for n in sel.split(",")] if sel else list(variants)
+    out = {"n_scene": n_scene}
+    for name in names:
+        out[name] = variants[name]()
     print(json.dumps(out))
 
 
