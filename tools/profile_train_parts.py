@@ -61,6 +61,15 @@ def main():
         if upto == "enc":
             return tree_sum(feats)
         input_dict = extract(batch, "input")
+        if upto == "goal":
+            goal_pred = model.apply(
+                {"params": p}, method="pred_goal", rngs={"dropout": k_goal},
+                deterministic=False, agent_type=batch["ref/agent_type"],
+                map_type=batch["ref/map_type"], agent_state=batch["ref/agent_state"],
+                **{k_: jax.lax.stop_gradient(v) if hasattr(v, "dtype") else v
+                   for k_, v in feats["input"].items()},
+            )
+            return tree_sum(goal_pred)
         goal_gt, goal_valid = get_gt_goal(cfg, input_dict["agent_valid"],
                                           batch["gt/goal"], batch["gt/dest"])
         goal_pred = model.apply(
@@ -135,6 +144,8 @@ def main():
     out = {"n_scene": n_scene}
     out["enc_grad"] = timeit(
         "enc_grad", lambda p, b, k: jax.grad(lambda pp: build_parts(pp, b, k, upto="enc"))(p))
+    out["goal_grad"] = timeit(
+        "goal_grad", lambda p, b, k: jax.grad(lambda pp: build_parts(pp, b, k, upto="goal"))(p))
     out["enc_gl_grad"] = timeit(
         "enc_gl_grad", lambda p, b, k: jax.grad(lambda pp: build_parts(pp, b, k, upto="enc_gl"))(p))
     out["sg_enc"] = timeit(
