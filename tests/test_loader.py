@@ -25,6 +25,12 @@ def tiny_h5(tmp_path_factory):
             g = hf.create_group(str(i))
             for k, size in sizes.items():
                 g.create_dataset(k, data=rng.rand(*size).astype(np.float32))
+            # per-episode attrs the val/test reader consumes (packing
+            # contract: womd_adapter stores these for the submission writer)
+            g.attrs["scenario_id"] = f"scn{i}"
+            g.attrs["scenario_center"] = np.zeros(2, np.float32)
+            g.attrs["scenario_yaw"] = 0.0
+            g.attrs["with_map"] = True
     return str(path), d
 
 
@@ -101,3 +107,30 @@ def test_sharding_requires_divisible_batch(tiny_h5):
     ds = H5Dataset(path, tensor_size_train(d), is_train=True)
     with pytest.raises(AssertionError):
         EpisodeLoader(ds, batch_size=3, shard_index=0, shard_count=2)
+
+
+def test_sharded_val_pads_final_batch(tiny_h5):
+    """Sharded val/test loaders must cover EVERY scenario: the final partial
+    global batch pads to size by repeating the last episode, flagged via
+    pad_mask so host-side consumers skip the duplicates (train keeps
+    drop_last — random draws anyway)."""
+    path, d = tiny_h5
+    ds = H5Dataset(path, tensor_size_train(d), is_train=False)
+    shard0 = EpisodeLoader(ds, batch_size=8, shard_index=0, shard_count=2)
+    shard1 = EpisodeLoader(ds, batch_size=8, shard_index=1, shard_count=2)
+    b0 = list(shard0)
+    b1 = list(shard1)
+    assert len(b0) == len(b1) == 2  # ceil(12 / 8)
+    # every real episode appears exactly once across shards, in order
+    real = []
+    for x0, x1 in zip(b0, b1):
+        for x in (x0, x1):
+            assert len(x["pad_mask"]) == 4
+            real += [int(i) for i, p in zip(x["episode_idx"], x["pad_mask"]) if not p]
+    assert real == list(range(12))
+    # the pads repeat the last episode and are flagged
+    assert b1[1]["pad_mask"] == [True] * 4
+    np.testing.assert_array_equal(b1[1]["episode_idx"], [11] * 4)
+    # unsharded loaders keep the ragged final batch and carry no pad_mask
+    plain = list(EpisodeLoader(ds, batch_size=8))
+    assert "pad_mask" not in plain[0] and plain[1]["episode_idx"].shape[0] == 4

@@ -196,7 +196,15 @@ class EpisodeLoader:
         self.batch_size = batch_size
         self.n_workers = n_workers
         self.prefetch = prefetch
-        self.drop_last = drop_last or shard_count > 1  # ragged batches don't shard evenly
+        # ragged batches don't shard evenly over processes. Training just
+        # drops the tail (random sampling anyway); val/test must see EVERY
+        # scenario, so the final partial batch is padded to size by
+        # repeating the last episodes and a `pad_mask` list rides along —
+        # host-side consumers (WOMD metrics, submissions) skip pad rows,
+        # while device-side metric sums count them like the reference's
+        # DDP sampler duplicates do.
+        self.drop_last = drop_last or (shard_count > 1 and dataset.is_train)
+        self._pad_final = shard_count > 1 and not dataset.is_train
         self.seed = shuffle_seed
         self.limit_batches = limit_batches
         assert batch_size % shard_count == 0, (
@@ -261,10 +269,16 @@ class EpisodeLoader:
             idxs = list(range(b * self.batch_size, min((b + 1) * self.batch_size, n)))
             if self.ds.is_train:
                 idxs = [int(rng.randint(n)) for _ in idxs]
+            pads = [False] * len(idxs)
+            if self._pad_final and len(idxs) < self.batch_size:
+                need = self.batch_size - len(idxs)
+                idxs = idxs + [idxs[-1]] * need
+                pads = pads + [True] * need
             if self.shard_count > 1:
                 per = self.batch_size // self.shard_count
-                idxs = idxs[self.shard_index * per : (self.shard_index + 1) * per]
-            idx_batches.append(idxs)
+                sl = slice(self.shard_index * per, (self.shard_index + 1) * per)
+                idxs, pads = idxs[sl], pads[sl]
+            idx_batches.append((idxs, pads))
         # without an explicit set_epoch, consecutive iterations still vary
         self._epoch += 1
 
@@ -291,20 +305,26 @@ class EpisodeLoader:
                     it = iter(idx_batches)
 
                     def submit_next():
-                        idxs = next(it, None)
-                        if idxs is not None:
-                            pending.append([pool.submit(self.ds.get, i) for i in idxs])
+                        nxt = next(it, None)
+                        if nxt is not None:
+                            idxs, pads = nxt
+                            pending.append(
+                                ([pool.submit(self.ds.get, i) for i in idxs], pads)
+                            )
 
                     for _ in range(self.prefetch + 1):
                         submit_next()
                     while pending:
                         if stop.is_set():
-                            for futs in pending:
+                            for futs, _ in pending:
                                 for f in futs:
                                     f.cancel()
                             return
-                        episodes = [f.result() for f in pending.popleft()]
-                        if not put_checked(self._assemble(episodes)):
+                        futs, pads = pending.popleft()
+                        batch = self._assemble([f.result() for f in futs])
+                        if self._pad_final:
+                            batch["pad_mask"] = list(pads)
+                        if not put_checked(batch):
                             return
                         submit_next()
             finally:

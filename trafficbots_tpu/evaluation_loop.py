@@ -187,7 +187,6 @@ class Validator:
         return np.asarray(x)
 
     def step(self, params, batch_np: Dict[str, np.ndarray], key) -> None:
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
         if self._jitted is None:
             cfg, model = self.cfg, self.model
 
@@ -202,6 +201,8 @@ class Validator:
             from .parallel.mesh import put_global_batch
 
             batch = put_global_batch(batch_np, self.mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
         out = self._jitted(params, batch, key)
 
         # metric sums are replicated global reductions -> addressable everywhere
@@ -224,6 +225,29 @@ class Validator:
         scores_rr = self._local_rows(out["pred_rr"]["waymo_scores"])
         trajs_jf = self._local_rows(out["pred_jf"]["waymo_trajs"])
         scores_jf = self._local_rows(out["pred_jf"]["waymo_scores"])
+        # sharded val/test loaders pad the final partial global batch to size
+        # (h5_loader pad_mask); pad rows are duplicates and must not reach
+        # the WOMD metrics or the submission files. (Device-side metric SUMS
+        # above do include them — same approximation as the reference's DDP
+        # sampler duplicates.)
+        pads = batch_np.get("pad_mask")
+        if pads is not None and any(pads):
+            keep = ~np.asarray(pads)
+            nB = len(pads)
+            batch_np = {
+                k: (
+                    [x for x, m in zip(v, keep) if m]
+                    if isinstance(v, list) and len(v) == nB
+                    else v[keep]
+                    if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == nB
+                    else v
+                )
+                for k, v in batch_np.items()
+                if k != "pad_mask"
+            }
+            trajs_rr, scores_rr = trajs_rr[keep], scores_rr[keep]
+            trajs_jf, scores_jf = trajs_jf[keep], scores_jf[keep]
+            mask_pred, object_id = mask_pred[keep], object_id[keep]
         self.womd_rr.update(batch_np, trajs_rr, scores_rr)
         self.womd_jf.update(batch_np, trajs_jf, scores_jf)
 

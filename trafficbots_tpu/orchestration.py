@@ -93,8 +93,8 @@ def encode_episode_features(
     The reference re-encodes the map for every view; here the map encoding is
     computed once and shared across views whenever they see the same map —
     i.e. unless the latent views are SE(2)-perturbed (perturb marker key in
-    the batch) or dropout is live (training), where per-view noise must stay
-    independent.
+    the batch). Training shares too (documented divergence, see below and
+    docs/divergences.md): only the views' dropout draws would have differed.
     """
     rngs = {"dropout": key} if (training and key is not None) else {}
     if share_map_encoding is None:

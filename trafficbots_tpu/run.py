@@ -119,6 +119,10 @@ def synthetic_loader(cfg, n_batches: int, seed: int = 0):
                 # every process generates the identical global batch (same
                 # seed), then keeps its contiguous slice — the synthetic
                 # analog of the process-sharded EpisodeLoader
+                assert cfg.data.batch_size % pc == 0, (
+                    f"global batch_size {cfg.data.batch_size} not divisible "
+                    f"by process count {pc}"
+                )
                 per = cfg.data.batch_size // pc
                 batch = {k: v[pi * per : (pi + 1) * per] for k, v in batch.items()}
             yield batch
@@ -143,19 +147,29 @@ def _mean_metrics(metrics) -> Dict[str, float]:
     return out
 
 
-def _resolve_resume(ckpt, resume: str, default: str):
+def _resolve_resume(ckpt, resume: str, default: str, required: bool = False):
     """Map the CLI `resume=` value to a checkpoint name or explicit path.
 
     `resume=1/true` keeps the legacy behavior (restore `default`);
     `resume=best|last` picks that checkpoint; any other value is treated as
     a path to an Orbax checkpoint directory — the analog of the reference's
     `resume.checkpoint` wandb-artifact flow (ref run.py:33-47,
-    configs/resume/submission.yaml)."""
+    configs/resume/submission.yaml).
+
+    `required=True` (validate/test): an explicitly requested checkpoint that
+    cannot be found is an ERROR — evaluating/submitting from randomly
+    initialized params because of a typo'd path must not happen silently.
+    Fit keeps resume-if-available semantics (idempotent restart scripts) but
+    the caller warns when nothing was found."""
     if resume in ("1", "true", "True", "yes"):
         resume = default
     if resume in ("best", "last"):
-        return resume if ckpt.exists(resume) else None
-    return resume if os.path.isdir(resume) else None
+        found = resume if ckpt.exists(resume) else None
+    else:
+        found = resume if os.path.isdir(resume) else None
+    if found is None and required:
+        raise SystemExit(f"resume={resume}: no such checkpoint (looked in {ckpt.directory})")
+    return found
 
 
 def main(argv: Optional[List[str]] = None):
@@ -229,6 +243,8 @@ def main(argv: Optional[List[str]] = None):
         # and the LR schedule continue exactly where they stopped.
         start_epoch, global_step = 0, 0
         target = _resolve_resume(ckpt, resume, default="last") if resume else None
+        if resume and target is None and is_main:
+            print(f"resume={resume}: no checkpoint found, starting fresh")
         if target is not None:
             restored = ckpt.restore_trainer_state(
                 target,
@@ -306,7 +322,7 @@ def main(argv: Optional[List[str]] = None):
     elif action == "validate":
         from .eval.submission import SubWOMD
 
-        target = _resolve_resume(ckpt, resume, default="best") if resume else None
+        target = _resolve_resume(ckpt, resume, default="best", required=True) if resume else None
         if target is not None:
             params = ckpt.restore(target, {"params": params})["params"]
         # submission writing during validation (ref waymo_motion.py:657-665,
@@ -354,7 +370,7 @@ def main(argv: Optional[List[str]] = None):
         from .evaluation_loop import test_step_device
         from .eval.submission import SubWOMD
 
-        target = _resolve_resume(ckpt, resume, default="best") if resume else None
+        target = _resolve_resume(ckpt, resume, default="best", required=True) if resume else None
         if target is not None:
             params = ckpt.restore(target, {"params": params})["params"]
         if synthetic:

@@ -60,6 +60,11 @@ class CheckpointManager:
         return improved
 
     def _write_meta(self, step: int, metrics: Dict[str, float]):
+        # Orbax's save is a collective (every process calls it; Orbax
+        # coordinates the shard writes) but this sidecar json is NOT — on a
+        # shared checkpoint dir concurrent writers would tear the file
+        if jax.process_index() != 0:
+            return
         with open(self._meta_path, "w") as f:
             json.dump(
                 {"best_score": self.best_score, "step": step,
@@ -71,7 +76,7 @@ class CheckpointManager:
         """`name` is either a managed checkpoint name (best/last) or an
         explicit path to an Orbax checkpoint directory — the analog of the
         reference's resume.checkpoint flow (ref run.py:33-47)."""
-        if os.path.isdir(name) and not os.path.isdir(os.path.join(self.directory, name)):
+        if name not in ("best", "last") and os.path.isdir(name):
             return os.path.abspath(name)
         return os.path.join(self.directory, name)
 
@@ -97,7 +102,8 @@ class CheckpointManager:
         epoch 0 instead of crashing on a strict template mismatch)."""
         try:
             return self._ckptr.restore(self._path(name), target=target)
-        except Exception:
+        except ValueError:  # template/structure mismatch only — genuine IO or
+            # corruption errors from the slim retry below still propagate
             slim = {"params": target["params"], "opt_state": target["opt_state"]}
             restored = self._ckptr.restore(self._path(name), target=slim)
             out = dict(target)
