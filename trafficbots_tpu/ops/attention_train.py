@@ -48,25 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
-try:
-    _COMPILER_PARAMS = {
-        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    }
-except Exception:  # pragma: no cover - older pallas
-    _COMPILER_PARAMS = {}
-
-
-def _dropout_mask(shape, idx, p: float, seed_ref):
-    """Inverted-dropout mask regenerable at any walk order: re-seeded per
-    (seed, absolute site index). Same recipe as ops/node_encoder_train.py;
-    `idx` must be computed identically by the forward and backward kernels
-    (dense path: grid-step * 1024 + scene-in-block * n_head + head;
-    query-blocked path: (scene * n_sblocks + sblock) * 64 + head)."""
-    pltpu.prng_seed(seed_ref[0], idx)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    thresh = np.uint32(min(int(p * 2**32), 2**32 - 1))
-    keep = (bits >= thresh).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - p))
+from .kernel_common import COMPILER_PARAMS as _COMPILER_PARAMS
+# site-index contract for this module: dense path uses
+# grid-step * 1024 + scene-in-block * n_head + head; query-blocked path uses
+# (scene * n_sblocks + sblock) * 64 + head — forward and backward must agree.
+from .kernel_common import dropout_mask as _dropout_mask
 
 
 def _scene_consts(inv):

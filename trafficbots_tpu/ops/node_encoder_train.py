@@ -52,12 +52,8 @@ _LN_EPS = 1e-5
 # The backward kernel's one-layer-at-a-time recompute peaks ~10 MB of live
 # intermediates at blk 16 — near the default 16 MB scoped-VMEM stack limit.
 # Grant headroom (v5e has 128 MB VMEM); interpret mode rejects the kwarg.
-try:
-    _COMPILER_PARAMS = {
-        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    }
-except Exception:  # older pallas without CompilerParams
-    _COMPILER_PARAMS = {}
+from .kernel_common import COMPILER_PARAMS as _COMPILER_PARAMS
+from .kernel_common import dropout_mask
 
 # weight tuple layout (matches FusedNodeEncoder param names)
 W_NAMES = (
@@ -106,15 +102,10 @@ def _ln_bwd(dy, xhat, rstd, s):
 
 
 def _dropout_mask(shape, site: int, p: float, seed_ref):
-    """Regenerable inverted-dropout mask: re-seeds per (seed, grid step,
-    site) so forward and backward draw identical bits at any walk order.
-    (prng_seed takes at most 2 values -> fold step and site into one; site
-    count per program is far below 1024.)"""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * 1024 + site)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    thresh = np.uint32(min(int(p * 2**32), 2**32 - 1))
-    keep = (bits >= thresh).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - p))
+    """Regenerable inverted-dropout mask (shared core in kernel_common):
+    this module folds the grid step into the site index — site count per
+    program stays far below 1024 so (step * 1024 + site) is unique."""
+    return dropout_mask(shape, pl.program_id(0) * 1024 + site, p, seed_ref)
 
 
 def _mask_consts(vf, same, ones):
