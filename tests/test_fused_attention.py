@@ -31,7 +31,7 @@ def _setup(B=3, S=8, T=16, D=16, seed=0, all_invalid_row=True):
 
 def test_fused_matches_reference():
     q, k, v, invalid = _setup()
-    out_f = fused_attention_core(q, k, v, invalid, 4)
+    out_f = fused_attention_core(q, k, v, invalid, None, 4)
     out_r = _xla_reference(q, k, v, invalid, 4)
     assert np.isfinite(np.asarray(out_f)).all()
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-5, atol=1e-5)
@@ -43,7 +43,7 @@ def test_fused_matches_reference():
 def test_fused_no_mask():
     q, k, v, _ = _setup()
     zero = jnp.zeros(( q.shape[0], q.shape[1], k.shape[1]), bool)
-    out_f = fused_attention_core(q, k, v, zero, 2)
+    out_f = fused_attention_core(q, k, v, zero, None, 2)
     out_r = _xla_reference(q, k, v, zero, 2)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-5, atol=1e-5)
 
@@ -52,7 +52,7 @@ def test_fused_gradients_match_reference():
     q, k, v, invalid = _setup()
 
     def loss_fused(q, k, v):
-        return jnp.sum(fused_attention_core(q, k, v, invalid, 4) ** 2)
+        return jnp.sum(fused_attention_core(q, k, v, invalid, None, 4) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_xla_reference(q, k, v, invalid, 4) ** 2)
@@ -84,7 +84,7 @@ def test_attention_module_fused_flag_matches_unfused():
     k = tgt @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
     v = tgt @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
     invalid = jnp.broadcast_to(pad[:, None, :], (B, S, T))
-    core = fused_attention_core(q, k, v, invalid, 2)
+    core = fused_attention_core(q, k, v, invalid, None, 2)
     out_fused = core @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
     no_valid = jnp.all(invalid, axis=-1)
     out_fused = jnp.where(no_valid[..., None], 0.0, out_fused)
@@ -96,7 +96,7 @@ def test_attention_module_fused_flag_matches_unfused():
 def test_scene_batched_grid_matches_reference():
     """G>1 path: batch divisible by 4 -> 4 scenes per grid step."""
     q, k, v, invalid = _setup(B=8, S=8, T=16)
-    out = fused_attention_core(q, k, v, invalid, 2)
+    out = fused_attention_core(q, k, v, invalid, None, 2)
     ref = _xla_reference(q, k, v, invalid, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -107,7 +107,7 @@ def test_query_blocked_path_matches_reference():
     # S*T*9 must exceed ~12 MB: S=1216, T=1024 like the real latent encode
     q, k, v, invalid = _setup(B=1, S=1216, T=1024, D=32, all_invalid_row=False)
     invalid = invalid.at[0, 5].set(True)  # NaN-guard row inside a block
-    out = fused_attention_core(q, k, v, invalid, 2)
+    out = fused_attention_core(q, k, v, invalid, None, 2)
     ref = _xla_reference(q, k, v, invalid, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -117,9 +117,84 @@ def test_bf16_kv_cache_path_runs():
     q, k, v, invalid = _setup(B=4, S=8, T=16)
     out = fused_attention_core(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-        invalid, 2,
+        invalid, None, 2,
     )
     ref = _xla_reference(q, k, v, invalid, 2)
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref), atol=5e-2
     )
+
+
+def test_src_invalid_block_skip():
+    """Dead-query-row blocks (padding agents/polylines) skip compute and
+    output exactly 0; live rows match the reference bit-for-bit with any
+    row_block choice."""
+    q, k, v, invalid = _setup(B=2, S=64, T=32, all_invalid_row=False)
+    src_invalid = jnp.arange(64)[None, :] >= jnp.array([[16], [40]])  # live prefix
+    ref = _xla_reference(q, k, v, invalid, 2)
+    for rb in (0, 16, -1):
+        out = fused_attention_core(q, k, v, invalid, src_invalid, 2, rb)
+        live = ~np.asarray(src_invalid)
+        np.testing.assert_allclose(
+            np.asarray(out)[live], np.asarray(ref)[live], rtol=1e-5, atol=1e-5
+        )
+    # with blocking, blocks dead across the whole scene group are exactly
+    # zero (flags OR over grouped scenes: rows >= 40 are dead in BOTH)
+    out = fused_attention_core(q, k, v, invalid, src_invalid, 2, 16)
+    np.testing.assert_array_equal(np.asarray(out[:, 48:]), 0.0)
+
+
+def test_src_invalid_gradients_zero_where_masked_downstream():
+    """Callers zero dead-src rows before any consumer; with that downstream
+    mask in the loss, grads of the skipping kernel == grads of the
+    reference."""
+    q, k, v, invalid = _setup(B=1, S=32, T=16, all_invalid_row=False)
+    src_invalid = jnp.arange(32)[None, :] >= 16
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            out = jnp.where(src_invalid[..., None], 0.0, out)  # caller's zeroing
+            return jnp.sum(out ** 2)
+        return f
+
+    gf = jax.grad(loss(lambda q, k, v: fused_attention_core(q, k, v, invalid, src_invalid, 2, 8)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda q, k, v: _xla_reference(q, k, v, invalid, 2)), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_kv_block_path_matches_reference():
+    """Flash K/V-block path (kv_block > 0): padded target blocks skip; live
+    outputs match the single-shot reference within softmax-reassociation
+    tolerance, NaN-guard rows are exactly 0."""
+    from trafficbots_tpu.ops.fused_attention import _flash_forward
+
+    B, S, T, D = 4, 16, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = _rand(ks[0], (B, S, D))
+    k = _rand(ks[1], (B, T, D))
+    v = _rand(ks[2], (B, T, D))
+    # targets: a valid prefix of 24 (blocks 0-1 of 4 at TB=16), per-row
+    # random extra masking, one NaN-guard row
+    tgt_pad = jnp.arange(T)[None, :] >= 24
+    invalid = jnp.broadcast_to(tgt_pad[:, None, :], (B, S, T))
+    invalid = invalid | jax.random.bernoulli(ks[3], 0.2, (B, S, T))
+    invalid = invalid.at[0, 3].set(True)  # guard row
+    ref = _xla_reference(q, k, v, invalid, 2)
+    for tb in (16, 32):
+        out = _flash_forward(q, k, v, invalid, 2, tb)
+        assert out is not None
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"kv_block={tb}",
+        )
+    np.testing.assert_array_equal(np.asarray(out[0, 3]), 0.0)
+    # through the public entry with grads (VJP recomputes the XLA ref)
+    def loss(q, k, v):
+        return jnp.sum(fused_attention_core(q, k, v, invalid, None, 2, 0, 16) ** 2)
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(_xla_reference(q, k, v, invalid, 2) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -58,6 +58,26 @@ def test_kernel_matches_xla_path_with_pool():
     assert (np.asarray(pooled)[~vn] < -1e20).all()
 
 
+def test_kernel_skips_fully_invalid_blocks():
+    """Whole grid steps of padding polylines (the map's fixed 1024 capacity
+    vs a variable real prefix) take the skip path; valid prefix unchanged."""
+    x, valid = _data(seed=7)
+    # second grid step (polylines 8..15 at block_pl=8) entirely padding
+    valid = valid.at[8:].set(False)
+    x = jnp.where(valid[..., None], x, 0.0)
+    fused = FusedNodeEncoder(d_model=D, n_head=H, n_layer=L, d_feedforward=F, dropout_p=0.0)
+    params = fused.init(jax.random.PRNGKey(2), x, valid)["params"]
+
+    skip = fused.apply({"params": params}, x, valid, method="encode_pooled")
+    noskip = FusedNodeEncoder(
+        d_model=D, n_head=H, n_layer=L, d_feedforward=F, dropout_p=0.0,
+        skip_invalid_blocks=False,
+    ).apply({"params": params}, x, valid, method="encode_pooled")
+
+    np.testing.assert_array_equal(np.asarray(skip), np.asarray(noskip))
+    assert (np.asarray(skip)[8:] < -1e20).all()
+
+
 def test_pipelined_kernel_matches_single_block():
     """pipeline_blocks=2 (two independent sub-chains per grid step) must be
     bit-identical to the single-block kernel."""

@@ -150,3 +150,33 @@ def test_dropout_deterministic_given_seed():
     c = _kernel_loss(weights, x, valid, g, p=0.5, seed=12)
     assert float(a) == float(b)
     assert float(a) != float(c)
+
+
+def test_skip_invalid_blocks_grads_identical():
+    """A whole kernel block of padding polylines (the fixed 1024-capacity
+    tail) takes the skip path in fwd AND bwd; outputs and every gradient
+    are identical to the unskipped kernel."""
+    module, params, weights, x, valid = _setup(seed=5)
+    valid = valid.at[8:].set(False)  # second BLK-8 block entirely padding
+    x = jnp.where(valid[..., None], x, 0.0)
+    g = jax.random.normal(jax.random.PRNGKey(7), (BP, D), jnp.float32)
+
+    def loss(skip):
+        def f(weights, x):
+            vf = valid.astype(jnp.float32)[..., None]
+            pooled = node_encoder_train_pooled(
+                x, vf, weights, jnp.asarray(0, jnp.int32), L, H, BLK, 0.0,
+                jax.default_backend() != "tpu", skip,
+            )
+            pooled = jnp.where(jnp.any(valid, axis=-1, keepdims=True), pooled, 0.0)
+            return jnp.sum(pooled * g)
+        return f
+
+    v1, (dw1, dx1) = jax.value_and_grad(loss(True), argnums=(0, 1))(weights, x)
+    v2, (dw2, dx2) = jax.value_and_grad(loss(False), argnums=(0, 1))(weights, x)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dx2))
+    for a, b, n in zip(dw1, dw2, W_NAMES):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=n)
+    # the skipped block's dx is exactly zero
+    np.testing.assert_array_equal(np.asarray(dx1[8:]), 0.0)

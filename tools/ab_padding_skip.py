@@ -1,0 +1,163 @@
+"""A/B + on-chip equivalence check for the padding-aware kernels (round 3).
+
+Variants:
+  off        node-kernel skip off, attention row_block=-1 (round-2 behavior)
+  node_skip  node-kernel fully-padded-block skip only
+  attn_skip  fused-attention query-block skip only (row_block auto)
+  both       both on (the defaults)
+
+`--check` runs the eval rollout at a small batch for all variants and
+asserts the VALID-agent predictions are bit-identical to `off` — the skip
+paths only change dead slots' garbage, which every consumer masks. This is
+the real-TPU complement of the interpret-mode unit tests (Mosaic-only bugs
+do not reproduce under interpret=True).
+
+Timing methodology per PERF.md: per-iteration device-to-host scalar read
+(block_until_ready does not block on the tunnel), median of N.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true", help="equivalence check only")
+    ap.add_argument("--n-scene", type=int, default=0)
+    ap.add_argument("--n-iter", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from trafficbots_tpu import orchestration as O
+    from trafficbots_tpu.config import ExperimentConfig
+    from trafficbots_tpu.data.preprocessing import pre_processing
+    from trafficbots_tpu.data.synthetic import synthetic_episode_batch
+    from trafficbots_tpu.ops import fused_attention as FA
+    from trafficbots_tpu.run import apply_override
+    from trafficbots_tpu.sim.teacher_forcing import teacher_forcing_mask
+
+    n_scene = args.n_scene or (16 if args.check else 128)
+    base = ExperimentConfig()
+    batch_np = synthetic_episode_batch(base.data, n_scene=n_scene, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    def build(node_skip: bool, attn_skip: bool, kv_block: int = 0):
+        cfg = apply_override(
+            base, "model.map_encoder.fused_skip_invalid_blocks", str(node_skip).lower()
+        )
+        if kv_block:
+            cfg = apply_override(cfg, "model.as2pl_kv_block", str(kv_block))
+        # attention row-blocking: override at trace time via the module hook
+        FA._ROW_BLOCK_OVERRIDE = None if attn_skip else -1
+        model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
+
+        def eval_rollout(params, batch, key):
+            pbatch = pre_processing(batch, cfg.model, training=False)
+            feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
+            goal_gt, goal_valid = O.get_gt_goal(
+                cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
+            )
+            latent_post = model.apply(
+                {"params": params}, method="latent", posterior=True, **feats["latent_post"]
+            )
+            mask_tf = teacher_forcing_mask(
+                O.tf_cfg_to_sim(cfg.tf_reactive_replay), pbatch["gt/valid"]
+            )
+            buf = O.reactive_replay(
+                cfg, model, params, pbatch, feats["input"], latent_post,
+                goal_gt, goal_valid, mask_tf, key,
+                deterministic_latent=True, deterministic_action=True,
+            )
+            return buf.preds, buf.valid
+
+        # NOTE: trace happens inside this call, while the override is set
+        preds, valid = jax.jit(eval_rollout)(params, batch, jax.random.PRNGKey(1))
+        return cfg, model, params, preds, valid
+
+    variants = [
+        ("off", False, False, 0),
+        ("node_skip", True, False, 0),
+        ("attn_skip", False, True, 0),
+        ("both", True, True, 0),
+        ("both+kv256", True, True, 256),
+        ("both+kv128", True, True, 128),
+    ]
+
+    if args.check:
+        ref = None
+        for name, ns, ak, kvb in variants:
+            _, _, _, preds, valid = build(ns, ak, kvb)
+            p = np.asarray(preds)
+            v = np.asarray(valid)
+            masked = p * v[..., None]
+            if ref is None:
+                ref = masked
+                print(f"{name}: reference ({np.abs(masked).sum():.4f} checksum)")
+            else:
+                diff = np.max(np.abs(masked - ref))
+                status = "OK (bit-identical)" if diff == 0.0 else f"max|diff|={diff:.3e}"
+                print(f"{name}: {status}")
+                assert diff < 1e-5, f"{name} diverged from off: {diff}"
+        print("equivalence check passed")
+        return
+
+    import json
+
+    results = {}
+    key = jax.random.PRNGKey(1)
+    for name, ns, ak, kvb in variants:
+        cfg, model, params, _, _ = build(ns, ak, kvb)
+        # rebuild the jitted fn for timing (fresh trace under the override)
+        FA._ROW_BLOCK_OVERRIDE = None if ak else -1
+
+        def eval_rollout(params, batch, key):
+            pbatch = pre_processing(batch, cfg.model, training=False)
+            feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
+            goal_gt, goal_valid = O.get_gt_goal(
+                cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
+            )
+            latent_post = model.apply(
+                {"params": params}, method="latent", posterior=True, **feats["latent_post"]
+            )
+            mask_tf = teacher_forcing_mask(
+                O.tf_cfg_to_sim(cfg.tf_reactive_replay), pbatch["gt/valid"]
+            )
+            buf = O.reactive_replay(
+                cfg, model, params, pbatch, feats["input"], latent_post,
+                goal_gt, goal_valid, mask_tf, key,
+                deterministic_latent=True, deterministic_action=True,
+            )
+            return jnp.sum(buf.preds)
+
+        fn = jax.jit(eval_rollout)
+        float(fn(params, batch, key))
+        float(fn(params, batch, jax.random.fold_in(key, 99)))
+        ts = []
+        for i in range(args.n_iter):
+            t0 = time.perf_counter()
+            float(fn(params, batch, jax.random.fold_in(key, i)))
+            ts.append(time.perf_counter() - t0)
+        ms = sorted(ts)[len(ts) // 2] * 1e3
+        n_steps = cfg.time_step_end - cfg.time_step_sim_start + 1
+        asps = n_scene * cfg.data.n_agent * n_steps / (ms / 1e3)
+        results[name] = {"ms": round(ms, 1), "agent_steps_per_sec": round(asps)}
+        print(name, results[name])
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,12 @@ run() {
   timeout "${STEP_TIMEOUT:-2400}" "$@" 2>&1 | tail -6 | tee -a "$LOG"
 }
 
+# 0a. padding-aware kernels: verify eval outputs EQUAL on real TPU
+#     (skip on vs off — interpret-mode tests can't catch Mosaic-only bugs)
+run python tools/ab_padding_skip.py --check
+# 0b. padding-aware kernels A/B (node-kernel block skip + attention
+#     query-block skip, each alone and together)
+run python tools/ab_padding_skip.py
 # 1. headline eval bench (also primes the driver's compile cache)
 run env BENCH_TRAIN=0 python bench.py
 # 2. full bench incl. train step (dest-head factoring landed since r2)

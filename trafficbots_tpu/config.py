@@ -102,6 +102,11 @@ class MapEncoderConfig:
     # bf16 matmul operands inside the node kernel (fp32 accumulation);
     # ~8% kernel-local, off by default to keep exact fp32 parity
     kernel_matmul_bf16: bool = False
+    # skip the node-kernel layer chain for grid steps whose polylines are
+    # all padding (scalar-prefetched any-valid flag): the 1024-polyline map
+    # capacity is a fixed-shape ceiling, real scenes fill a variable prefix.
+    # Bit-exact (all-invalid blocks pool to exactly _NEG either way).
+    fused_skip_invalid_blocks: bool = True
     # "fused": the whole 3-layer stack + pool in one VMEM-resident kernel
     # (fastest measured: 155 ms vs 290 hybrid vs 354 XLA at batch 128 —
     # intermediate HBM round-trips dominate the alternatives);
@@ -332,6 +337,12 @@ class ModelConfig:
     # traffic), and the attention math accumulates in fp32 either way.
     # Training always keeps fp32 K/V (gradient precision parity).
     map_kv_bf16: bool = True
+    # >0: flash K/V-block path for the in-scan as2pl (T=1024 map targets):
+    # K/V blocks whose polylines are ALL padding skip compute AND their
+    # per-step HBM stream (real scenes fill a variable prefix of the fixed
+    # 1024 capacity). 0 = single-shot kernel (round-2 behavior) until the
+    # A/B on real hardware picks the winner (tools/ab_padding_skip.py).
+    as2pl_kv_block: int = 0
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96
     pose_pe_map: str = "pe_xy_yaw"

@@ -187,7 +187,11 @@ class LatentEncoder(nn.Module):
             tgt_padding_mask=~map_feature_valid,
             deterministic=deterministic,
             # fused: the XLA alternative materializes [B, H, S*A, n_pl]
-            # logits that scale with batch (measured win at batch 128)
+            # logits that scale with batch (measured win at batch 128).
+            # row_block 16: live rows are strided with period n_agent (step-
+            # major flatten; real agents are a per-step prefix), so blocks
+            # must be finer than n_agent for the dead-row skip to fire
+            row_block=16 if (n_step * n_agent) % 16 == 0 else 0,
         )
         x = x.reshape(n_scene, n_step, n_agent, d)
         # cross-attn to this step's traffic lights, per step

@@ -87,6 +87,7 @@ class MapEncoder(nn.Module):
                     dropout_p=self.tf_cfg.dropout_p, block_pl=self.cfg.fused_block_pl,
                     matmul_bf16=self.cfg.kernel_matmul_bf16,
                     pipeline_blocks=self.cfg.fused_pipeline_blocks,
+                    skip_invalid_blocks=self.cfg.fused_skip_invalid_blocks,
                     name="densetnt",
                 )
                 fused_pool_ok = (

@@ -170,6 +170,9 @@ class Attention(nn.Module):
         tgt_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # cached (k, v)
         return_kv: bool = False,
         allow_fused: bool = True,
+        src_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = dead query row
+        row_block: int = 0,  # fused-kernel query rows per grid step (0 = auto)
+        kv_block: int = 0,  # >0: flash K/V-block path (padded targets skip DMA)
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """`tgt_kv` short-circuits the K/V projections with precomputed values
         — the rollout hot-loop optimization for step-invariant targets (the
@@ -273,7 +276,11 @@ class Attention(nn.Module):
             inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)
             # bf16 K/V cache (map_kv_bf16): operands bf16, fp32 accumulation
             q_in = q.astype(k.dtype) if k.dtype == jnp.bfloat16 else q
-            out = fused_attention_core(q_in, k, v, inv, self.n_head)
+            # src_padding_mask feeds the kernel's query-block skip flags only:
+            # dead rows (padding agents/polylines past the real prefix) come
+            # out 0 instead of the reference's garbage-then-zeroed — the
+            # caller zeroes them either way (ref transformer.py:236-239)
+            out = fused_attention_core(q_in, k, v, inv, src_padding_mask, self.n_head, row_block, kv_block)
             attn = None
         else:
             # a bf16 K/V cache is cast up AFTER the HBM load (XLA fuses the
@@ -380,6 +387,8 @@ class TransformerCrossAttention(nn.Module):
         allow_fused: bool = True,
         decoder_tgt: Optional[jnp.ndarray] = None,
         decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
+        row_block: int = 0,
+        kv_block: int = 0,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         act = _activation(self.activation)
         attn = Attention(
@@ -406,21 +415,25 @@ class TransformerCrossAttention(nn.Module):
                 _s = norm_src(src)
                 if decoder_tgt is None:
                     _s, _ = attn_src(_s, tgt_padding_mask=src_padding_mask,
-                                     deterministic=deterministic, allow_fused=allow_fused)
+                                     deterministic=deterministic, allow_fused=allow_fused,
+                                     src_padding_mask=src_padding_mask)
                 else:
                     # the reference applies the SAME norm_src to decoder_tgt
                     _s, _ = attn_src(_s, tgt=norm_src(decoder_tgt),
                                      tgt_padding_mask=decoder_tgt_padding_mask,
-                                     deterministic=deterministic, allow_fused=allow_fused)
+                                     deterministic=deterministic, allow_fused=allow_fused,
+                                     src_padding_mask=src_padding_mask)
                 src = src + (do_src(_s, deterministic=deterministic) if do_src else _s)
             else:
                 if decoder_tgt is None:
                     _s, _ = attn_src(src, tgt_padding_mask=src_padding_mask,
-                                     deterministic=deterministic, allow_fused=allow_fused)
+                                     deterministic=deterministic, allow_fused=allow_fused,
+                                     src_padding_mask=src_padding_mask)
                 else:
                     _s, _ = attn_src(src, tgt=decoder_tgt,
                                      tgt_padding_mask=decoder_tgt_padding_mask,
-                                     deterministic=deterministic, allow_fused=allow_fused)
+                                     deterministic=deterministic, allow_fused=allow_fused,
+                                     src_padding_mask=src_padding_mask)
                 src = norm_src(
                     src + (do_src(_s, deterministic=deterministic) if do_src else _s)
                 )
@@ -438,7 +451,8 @@ class TransformerCrossAttention(nn.Module):
         src2, attn_weights = attn(
             src2, tgt=tgt_n, tgt_padding_mask=tgt_padding_mask,
             attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
-            tgt_kv=tgt_kv, allow_fused=allow_fused,
+            tgt_kv=tgt_kv, allow_fused=allow_fused, src_padding_mask=src_padding_mask,
+            row_block=row_block, kv_block=kv_block,
         )
 
         if self.d_feedforward > 0:
@@ -503,6 +517,8 @@ class TransformerBlock(nn.Module):
         allow_fused: bool = True,
         decoder_tgt: Optional[jnp.ndarray] = None,
         decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
+        row_block: int = 0,
+        kv_block: int = 0,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         layers = [
             TransformerCrossAttention(
@@ -527,6 +543,7 @@ class TransformerBlock(nn.Module):
                 allow_fused=allow_fused,
                 decoder_tgt=decoder_tgt,
                 decoder_tgt_padding_mask=decoder_tgt_padding_mask,
+                row_block=row_block, kv_block=kv_block,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(epsilon=1e-5, name="out_ln")(src)

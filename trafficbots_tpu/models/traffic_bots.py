@@ -257,6 +257,7 @@ class TrafficBots(nn.Module):
             tgt=None if map_kv is not None else map_feature,
             tgt_padding_mask=~map_valid, need_weights=need_weights,
             deterministic=deterministic, tgt_kv=map_kv,
+            kv_block=self.cfg.as2pl_kv_block,
         )
         x, attn_tl = self.transformer_as2tl(
             x, src_padding_mask=~agent_valid, tgt=tl_feature,

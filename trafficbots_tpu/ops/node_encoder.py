@@ -69,6 +69,14 @@ class FusedNodeEncoder(nn.Module):
     # matmuls — the kernel is latency-bound on its serial per-layer chain,
     # not MXU rate (bf16 moved it only ~8%).
     pipeline_blocks: int = 1
+    # skip the whole 3-layer compute chain for grid steps whose polylines
+    # are ALL padding (scalar-prefetched per-block any-valid flag + pl.when).
+    # The map is packed to a fixed 1024-polyline capacity (ref
+    # data_h5_womd.py:82) but real WOMD scenes fill a variable prefix, so
+    # the tail blocks of most scenes are pure padding. Bit-exact: a fully
+    # invalid block's rows are zeroed by `vf` every layer and the masked
+    # max-pool then yields exactly _NEG, which is what the skip writes.
+    skip_invalid_blocks: bool = True
 
     def setup(self):
         L, D, F = self.n_layer, self.d_model, self.d_feedforward
@@ -228,6 +236,7 @@ class FusedNodeEncoder(nn.Module):
             x.astype(jnp.float32), vf, weights, seed,
             self.n_layer, self.n_head, self.block_pl, float(self.dropout_p),
             jax.default_backend() != "tpu",
+            self.skip_invalid_blocks,
         )
 
     # --------------------------------------------------------------- Pallas
@@ -253,20 +262,28 @@ class FusedNodeEncoder(nn.Module):
             bf16=self.matmul_bf16, n_sub=SUB,
         )
         w_specs = [
-            pl.BlockSpec(w.shape, lambda b, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+            pl.BlockSpec(w.shape, lambda b, f, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
             for w in weights
         ]
+        if self.skip_invalid_blocks:
+            flags = jnp.any(valid.reshape(grid, -1), axis=-1).astype(jnp.int32)
+        else:
+            flags = jnp.ones((grid,), jnp.int32)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((BP, D), jnp.float32),
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((STEP, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((STEP, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            ] + w_specs,
-            out_specs=pl.BlockSpec((STEP, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((STEP, N, D), lambda b, f: (b, 0, 0)),
+                    pl.BlockSpec((STEP, N, 1), lambda b, f: (b, 0, 0)),
+                ] + w_specs,
+                out_specs=pl.BlockSpec((STEP, D), lambda b, f: (b, 0)),
+            ),
             interpret=jax.default_backend() != "tpu",
         )(
+            flags,
             x.astype(jnp.float32),
             valid.astype(jnp.float32)[..., None],
             *[w.astype(jnp.float32) for w in weights],
@@ -332,6 +349,7 @@ def _block_attn_kernel(
 
 
 def _node_kernel(
+    flag_ref,
     x_ref, v_ref,
     ln1_s, ln1_b, lnt_s, lnt_b, ln2_s, ln2_b,
     wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
@@ -344,7 +362,36 @@ def _node_kernel(
     one sub-block's VPU work (layernorm/softmax) with another's MXU matmuls
     — attacking the serial dependency chain this kernel is bound by. The
     emission below interleaves the subs PHASE BY PHASE (all subs' q/k/v,
-    then all subs' scores, ...) to hand the scheduler ready-to-overlap ops."""
+    then all subs' scores, ...) to hand the scheduler ready-to-overlap ops.
+
+    `flag_ref` is a scalar-prefetched [grid] any-valid flag: grid steps whose
+    polylines are all padding write the pool identity (_NEG, bit-exact with
+    the computed result for all-invalid blocks) and skip the layer chain."""
+
+    @pl.when(flag_ref[pl.program_id(0)] == 0)
+    def _skip():
+        o_ref[:] = jnp.full(o_ref.shape, _NEG, jnp.float32)
+
+    @pl.when(flag_ref[pl.program_id(0)] != 0)
+    def _compute():
+        _node_kernel_body(
+            x_ref, v_ref,
+            ln1_s, ln1_b, lnt_s, lnt_b, ln2_s, ln2_b,
+            wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
+            o_ref,
+            n_layer=n_layer, n_head=n_head, n_node=n_node, blk=blk,
+            bf16=bf16, n_sub=n_sub,
+        )
+
+
+def _node_kernel_body(
+    x_ref, v_ref,
+    ln1_s, ln1_b, lnt_s, lnt_b, ln2_s, ln2_b,
+    wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2,
+    o_ref,
+    *, n_layer: int, n_head: int, n_node: int, blk: int, bf16: bool,
+    n_sub: int,
+):
     D = x_ref.shape[-1]
     R = blk * n_node
     d_head = D // n_head

@@ -182,31 +182,42 @@ def _block_consts(x_ref, v_ref, n_node, blk):
     return x, vf, nv, use_mask
 
 
-def _fwd_kernel(x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
+def _fwd_kernel(flag_ref, x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
     (*w,) = refs[:N_W]
     seed_ref = refs[N_W]
     o_ref = refs[N_W + 1]
     D = x_ref.shape[-1]
     d_head = D // n_head
     scale = 1.0 / math.sqrt(d_head)
-    x, vf, nv, use_mask = _block_consts(x_ref, v_ref, n_node, blk)
 
-    sites = n_head + 3
-    get_mask = functools.partial(_dropout_mask, p=p, seed_ref=seed_ref)
-    x0 = x
-    for l in range(n_layer):
-        x = _layer_fwd(x, x0, w, l, nv, use_mask, vf, scale, n_head, d_head,
-                       p, get_mask, site0=l * sites)
+    # fully-padded polyline blocks (the fixed 1024 capacity vs a variable
+    # real prefix) write the pool identity and skip the layer chain —
+    # bit-exact: their rows are zeroed by vf every layer, pooling to _NEG
+    @pl.when(flag_ref[pl.program_id(0)] == 0)
+    def _skip():
+        o_ref[:] = jnp.full(o_ref.shape, _NEG, jnp.float32)
 
-    xm = x + (1.0 - vf) * _NEG
-    rows = [
-        jnp.max(xm[i * n_node : (i + 1) * n_node, :], axis=0, keepdims=True)
-        for i in range(blk)
-    ]
-    o_ref[:] = jnp.concatenate(rows, axis=0)
+    @pl.when(flag_ref[pl.program_id(0)] != 0)
+    def _compute():
+        x, vf, nv, use_mask = _block_consts(x_ref, v_ref, n_node, blk)
+
+        sites = n_head + 3
+        get_mask = functools.partial(_dropout_mask, p=p, seed_ref=seed_ref)
+        x0 = x
+        xx = x
+        for l in range(n_layer):
+            xx = _layer_fwd(xx, x0, w, l, nv, use_mask, vf, scale, n_head, d_head,
+                            p, get_mask, site0=l * sites)
+
+        xm = xx + (1.0 - vf) * _NEG
+        rows = [
+            jnp.max(xm[i * n_node : (i + 1) * n_node, :], axis=0, keepdims=True)
+            for i in range(blk)
+        ]
+        o_ref[:] = jnp.concatenate(rows, axis=0)
 
 
-def _bwd_kernel(x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
+def _bwd_kernel(flag_ref, x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
     (*w,) = refs[:N_W]
     seed_ref = refs[N_W]
     g_ref = refs[N_W + 1]
@@ -220,6 +231,34 @@ def _bwd_kernel(x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
     R = blk * n_node
     d_head = D // n_head
     scale = 1.0 / math.sqrt(d_head)
+
+    # weight-grad accumulation across grid steps (sequential on TPU);
+    # the zero-init MUST run even if block 0 is skipped
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs:
+            r[:] = jnp.zeros_like(r[:])
+
+    # fully-padded blocks: upstream g is 0 (the caller masks their pooled
+    # rows), every dw/dx term is linear in g, so skipping contributes
+    # exactly nothing — write dx = 0 and accumulate nothing
+    @pl.when(flag_ref[pl.program_id(0)] == 0)
+    def _skip():
+        dx_ref[:] = jnp.zeros(dx_ref.shape, jnp.float32)
+
+    @pl.when(flag_ref[pl.program_id(0)] != 0)
+    def _compute():
+        _bwd_block(
+            x_ref, v_ref, w, seed_ref, g_ref, dx_ref, dw_refs,
+            n_layer=n_layer, n_head=n_head, n_node=n_node, blk=blk, p=p,
+            scale=scale, d_head=d_head, R=R, D=D,
+        )
+
+
+def _bwd_block(x_ref, v_ref, w, seed_ref, g_ref, dx_ref, dw_refs,
+               *, n_layer, n_head, n_node, blk, p, scale, d_head, R, D):
+    (ln1_s, ln1_b, lnt_s, lnt_b, ln2_s, ln2_b,
+     wq, bq, wk, bk, wv, bv, wo, bo, w1, b1, w2, b2) = w
     x_in0, vf, nv, use_mask = _block_consts(x_ref, v_ref, n_node, blk)
     g_pool = g_ref[:]  # [blk, D]
     sites = n_head + 3
@@ -322,19 +361,14 @@ def _bwd_kernel(x_ref, v_ref, *refs, n_layer, n_head, n_node, blk, p):
     dx = g + dx0  # layer-0 input IS x0
     dx_ref[:] = dx.reshape(blk, n_node, D)
 
-    # weight-grad accumulation across grid steps (sequential on TPU)
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for r in dw_refs:
-            r[:] = jnp.zeros_like(r[:])
-
     for name, r in zip(W_NAMES, dw_refs):
         r[:] += jnp.stack(dws[name])
 
 
 def _whole(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda b, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM)
+    # index_map tolerates any grid arity + trailing scalar-prefetch refs
+    return pl.BlockSpec(shape, lambda *a, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM)
 
 
 def dump_dropout_masks(BP, N, D, F, n_layer, n_head, blk, p, seed,
@@ -420,20 +454,31 @@ def reference_forward_with_masks(x, valid_f, weights, masks, n_layer, n_head, bl
     return jnp.concatenate(pooled_blocks, axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _block_flags(valid_f, grid):
+    """int32 [grid] any-valid-node flag per kernel block."""
+    return (jnp.max(valid_f.reshape(grid, -1), axis=-1) > 0).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def node_encoder_train_pooled(
     x: jnp.ndarray,        # [BP, N, D] fp32
     valid_f: jnp.ndarray,  # [BP, N, 1] fp32 (1.0 = valid node)
     weights: Tuple[jnp.ndarray, ...],  # W_NAMES order
     seed: jnp.ndarray,     # int32 scalar (may be traced — flax dropout rng)
     n_layer: int, n_head: int, blk: int, dropout_p: float, interpret: bool,
+    skip_invalid: bool = True,
 ) -> jnp.ndarray:
-    """[BP, N, D] -> pooled [BP, D]; the differentiable fused node stack."""
+    """[BP, N, D] -> pooled [BP, D]; the differentiable fused node stack.
+
+    `skip_invalid`: fully-padded polyline blocks skip the layer chain in
+    BOTH directions (their pooled rows are masked by the caller and every
+    grad term is linear in that zero cotangent — see _bwd_kernel)."""
     return _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk,
-                     dropout_p, interpret)
+                     dropout_p, interpret, skip_invalid)
 
 
-def _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret):
+def _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret,
+              skip_invalid=True):
     BP, N, D = x.shape
     assert BP % blk == 0
     grid = BP // blk
@@ -441,28 +486,34 @@ def _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret):
         _fwd_kernel, n_layer=n_layer, n_head=n_head, n_node=N, blk=blk, p=p
     )
     seed_arr = jnp.asarray([seed], jnp.int32)
+    flags = _block_flags(valid_f, grid) if skip_invalid else jnp.ones((grid,), jnp.int32)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((BP, D), jnp.float32),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((blk, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ] + [_whole(w.shape) for w in weights] + [
-            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((blk, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((blk, N, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((blk, N, 1), lambda b, f: (b, 0, 0)),
+            ] + [_whole(w.shape) for w in weights] + [
+                pl.BlockSpec((1,), lambda b, f: (0,), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((blk, D), lambda b, f: (b, 0)),
+        ),
         interpret=interpret,
         **_COMPILER_PARAMS,
-    )(x, valid_f, *weights, seed_arr)
+    )(flags, x, valid_f, *weights, seed_arr)
 
 
-def _vjp_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret):
-    out = _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret)
+def _vjp_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p, interpret,
+             skip_invalid=True):
+    out = _call_fwd(x, valid_f, weights, seed, n_layer, n_head, blk, p,
+                    interpret, skip_invalid)
     return out, (x, valid_f, weights, seed)
 
 
-def _vjp_bwd(n_layer, n_head, blk, p, interpret, res, g):
+def _vjp_bwd(n_layer, n_head, blk, p, interpret, skip_invalid, res, g):
     x, valid_f, weights, seed = res
     BP, N, D = x.shape
     grid = BP // blk
@@ -470,29 +521,33 @@ def _vjp_bwd(n_layer, n_head, blk, p, interpret, res, g):
         _bwd_kernel, n_layer=n_layer, n_head=n_head, n_node=N, blk=blk, p=p
     )
     seed_arr = jnp.asarray([seed], jnp.int32)
+    flags = _block_flags(valid_f, grid) if skip_invalid else jnp.ones((grid,), jnp.int32)
     out_shapes = (
         jax.ShapeDtypeStruct((BP, N, D), jnp.float32),
         *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
     )
     out_specs = (
-        pl.BlockSpec((blk, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, N, D), lambda b, f: (b, 0, 0)),
         *[_whole(w.shape) for w in weights],
     )
     dx, *dws = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((blk, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ] + [_whole(w.shape) for w in weights] + [
-            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((blk, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((blk, N, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((blk, N, 1), lambda b, f: (b, 0, 0)),
+            ] + [_whole(w.shape) for w in weights] + [
+                pl.BlockSpec((1,), lambda b, f: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((blk, D), lambda b, f: (b, 0)),
+            ],
+            out_specs=out_specs,
+        ),
         interpret=interpret,
         **_COMPILER_PARAMS,
-    )(x, valid_f, *weights, seed_arr, g.astype(jnp.float32))
+    )(flags, x, valid_f, *weights, seed_arr, g.astype(jnp.float32))
     return dx, None, tuple(dws), None
 
 

@@ -174,6 +174,17 @@ def _resolve_resume(ckpt, resume: str, default: str, required: bool = False):
 
 def main(argv: Optional[List[str]] = None):
     import jax
+
+    # Honor JAX_PLATFORMS explicitly: some environments ship a PJRT plugin
+    # whose registration overrides the env var (tests/conftest.py has the
+    # same workaround), and initializing an unreachable accelerator hangs —
+    # e.g. `JAX_PLATFORMS=cpu python -m trafficbots_tpu.run ...` must never
+    # touch the TPU plugin.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     action, cfg, run_dir, resume, synthetic, n_epochs, steps_per_epoch, val_batches = parse_args(
