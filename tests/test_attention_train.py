@@ -225,3 +225,36 @@ def test_module_training_path_matches_xla():
                                deterministic=False)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_src_invalid_skip_grads_match():
+    """Dead query rows (src_invalid): with the caller's downstream zeroing
+    in the loss, fwd/bwd of the skipping kernel match the reference exactly
+    on both paths (dense and query-blocked)."""
+    for (b, s, t, d) in ((4, 40, 288, 64), (1, 1216, 1024, 32)):
+        ks = jax.random.split(jax.random.PRNGKey(13), 4)
+        q = jax.random.normal(ks[0], (b, s, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, t, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, t, d), jnp.float32)
+        invalid = jax.random.bernoulli(ks[3], 0.2, (b, s, t))
+        src_invalid = jnp.arange(s)[None, :] >= (s // 4)  # live prefix only
+
+        def loss(fn):
+            def f(q, k, v):
+                out = fn(q, k, v)
+                out = jnp.where(src_invalid[..., None], 0.0, out)
+                return jnp.sum(out ** 2)
+            return f
+
+        with jax.default_matmul_precision("highest"):
+            lf = loss(lambda q, k, v: fused_attention_train(
+                q, k, v, invalid, jnp.zeros((), jnp.int32), H, 0.0, src_invalid))
+            lr = loss(lambda q, k, v: _xla_reference(q, k, v, invalid, H))
+            vf, gf = jax.value_and_grad(lf, argnums=(0, 1, 2))(q, k, v)
+            vr, gr = jax.value_and_grad(lr, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+        for a, bb in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-4, atol=2e-5,
+                err_msg=f"shape {(b, s, t, d)}",
+            )

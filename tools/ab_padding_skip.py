@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--check", action="store_true", help="equivalence check only")
     ap.add_argument("--n-scene", type=int, default=0)
     ap.add_argument("--n-iter", type=int, default=6)
+    ap.add_argument("--dense", action="store_true",
+                    help="all agents/polylines valid (padding-sensitivity bound)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +54,11 @@ def main():
 
     n_scene = args.n_scene or (16 if args.check else 128)
     base = ExperimentConfig()
-    batch_np = synthetic_episode_batch(base.data, n_scene=n_scene, seed=0)
+    dense_kw = (
+        {"n_valid_agent": base.data.n_agent, "n_valid_pl": base.data.n_pl}
+        if args.dense else {}
+    )
+    batch_np = synthetic_episode_batch(base.data, n_scene=n_scene, seed=0, **dense_kw)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     def build(node_skip: bool, attn_skip: bool, kv_block: int = 0):

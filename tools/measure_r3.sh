@@ -16,6 +16,10 @@ run python tools/ab_padding_skip.py --check
 # 0b. padding-aware kernels A/B (node-kernel block skip + attention
 #     query-block skip, each alone and together)
 run python tools/ab_padding_skip.py
+# 0c. padding-sensitivity bound: the same variants with ALL agents and
+#     polylines valid (skips cannot fire — measures pure flag overhead and
+#     gives the honest dense-throughput number for PERF.md)
+run python tools/ab_padding_skip.py --dense
 # 1. headline eval bench (also primes the driver's compile cache)
 run env BENCH_TRAIN=0 python bench.py
 # 2. full bench incl. train step (dest-head factoring landed since r2)
@@ -26,4 +30,7 @@ run env BENCH_N_SCENE=64 python tools/profile_pre.py
 run env BENCH_TRAIN=0 BENCH_N_SCENE=256 python bench.py
 # 5. train-step remat policy A/B
 run env VARIANTS=base,save_attn python tools/profile_train.py
+# 6. train-step with finer query blocks (lets the dead-row skip fire on the
+#    latent as2pl's strided validity; default routing unchanged)
+run env VARIANTS=base TB_ATTN_TRAIN_SB=16 python tools/profile_train.py
 echo "=== done ($(date +%H:%M:%S)) ===" | tee -a "$LOG"

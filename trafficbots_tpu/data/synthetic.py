@@ -23,8 +23,14 @@ def synthetic_episode_batch(
     n_valid_agent: Optional[int] = None,
     with_history: bool = True,
     with_agent_no_sim: bool = False,
+    n_valid_pl: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """Build a training-contract batch; optionally add val/test history keys."""
+    """Build a training-contract batch; optionally add val/test history keys.
+
+    `n_valid_agent`/`n_valid_pl` control how much of the fixed agent/map
+    capacity is real (defaults mimic a typical packed scene: A//4 agents,
+    P//8 polylines) — the perf tools use them for padding-sensitivity A/Bs.
+    """
     rng = np.random.RandomState(seed)
     T, A, P, N = data.n_step, data.n_agent, data.n_pl, data.n_pl_node
     TL, TLS = data.n_tl, data.n_tl_stop
@@ -109,7 +115,7 @@ def synthetic_episode_batch(
     map_pos = np.zeros((n_scene, P, N, 2), dtype=np.float32)
     map_dir = np.zeros((n_scene, P, N, 2), dtype=np.float32)
     map_type = np.zeros((n_scene, P, 11), dtype=bool)
-    n_valid_pl = max(8, P // 8)
+    n_valid_pl = n_valid_pl if n_valid_pl is not None else max(8, P // 8)
     for s in range(n_scene):
         for p in range(n_valid_pl):
             n_nodes = rng.randint(5, N + 1)

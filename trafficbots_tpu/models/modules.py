@@ -262,7 +262,7 @@ class Attention(nn.Module):
                 out = fused_attention_train(
                     q.astype(jnp.float32), k.astype(jnp.float32),
                     v.astype(jnp.float32), inv, seed,
-                    self.n_head, float(self.dropout_p),
+                    self.n_head, float(self.dropout_p), src_padding_mask,
                 )
                 attn = None
                 use_fused = False

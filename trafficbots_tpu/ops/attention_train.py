@@ -48,6 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
+import os as _os
+
+_SB_OVERRIDE = (
+    int(_os.environ["TB_ATTN_TRAIN_SB"]) if "TB_ATTN_TRAIN_SB" in _os.environ else None
+)
+
 from .kernel_common import COMPILER_PARAMS as _COMPILER_PARAMS
 # site-index contract for this module: dense path uses
 # grid-step * 1024 + scene-in-block * n_head + head; query-blocked path uses
@@ -62,8 +68,26 @@ def _scene_consts(inv):
     return no_valid, use_mask
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+def _fwd_kernel(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
                 *, n_head: int, block_b: int, p: float):
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+
+    # scalar-prefetched any-live flag per grid step: skip scene groups whose
+    # query rows are ALL dead (padding slots / no valid target) — their
+    # outputs are zeroed by the caller either way
+    @pl.when(flag_ref[pl.program_id(0)] == 0)
+    def _skip():
+        o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
+
+    @pl.when(flag_ref[pl.program_id(0)] != 0)
+    def _compute():
+        _fwd_dense_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+                        n_head=n_head, block_b=block_b, p=p)
+
+
+def _fwd_dense_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+                    *, n_head: int, block_b: int, p: float):
     d_head = q_ref.shape[-1] // n_head
     scale = 1.0 / math.sqrt(d_head)
     for b in range(block_b):
@@ -87,8 +111,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
         o_ref[b] = o * (1.0 - no_valid)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+def _bwd_kernel(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, n_head: int, block_b: int, p: float):
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+
+    # dead scene groups: upstream g is 0 (callers zero dead rows), every
+    # grad term is linear in g -> all three grads are exactly zero
+    @pl.when(flag_ref[pl.program_id(0)] == 0)
+    def _skip():
+        dq_ref[:] = jnp.zeros(dq_ref.shape, jnp.float32)
+        dk_ref[:] = jnp.zeros(dk_ref.shape, jnp.float32)
+        dv_ref[:] = jnp.zeros(dv_ref.shape, jnp.float32)
+
+    @pl.when(flag_ref[pl.program_id(0)] != 0)
+    def _compute():
+        _bwd_dense_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref,
+                        n_head=n_head, block_b=block_b, p=p)
+
+
+def _bwd_dense_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+                    dq_ref, dk_ref, dv_ref, *, n_head: int, block_b: int, p: float):
     d_head = q_ref.shape[-1] // n_head
     scale = 1.0 / math.sqrt(d_head)
     for b in range(block_b):
@@ -148,10 +192,16 @@ def _pick_sblock(S, T, D, itemsize=4):
     """Query-block rows per grid step for scenes too big for _pick_block
     (episode-level attentions, e.g. the latent as2pl at S=1216 x T=1024):
     k/v stay whole per scene, each grid step handles an SB-row query slice
-    plus the shared dk/dv accumulators."""
+    plus the shared dk/dv accumulators.
+
+    TB_ATTN_TRAIN_SB (env, A/B tooling) overrides the block size — finer
+    blocks let the dead-row skip fire on strided validity patterns (the
+    latent as2pl's live rows recur with period n_agent)."""
     def fits(sb):
         return (4 * T * D + 3 * sb * D + 6 * sb * T) * itemsize < 24 * 2**20
 
+    if _SB_OVERRIDE is not None and S % _SB_OVERRIDE == 0 and fits(_SB_OVERRIDE):
+        return _SB_OVERRIDE
     return next((sb for sb in (256, 128, 64, 32) if S % sb == 0 and fits(sb)), None)
 
 
@@ -162,10 +212,26 @@ def _qb_site(h):
     return (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * 64 + h
 
 
-def _fwd_kernel_qb(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+def _fwd_kernel_qb(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
                    *, n_head: int, p: float):
     """Grid (B, S/SB): one scene's k/v whole, one SB-row query slice. The
-    NaN guard is row-local, so it works per slice unchanged."""
+    NaN guard is row-local, so it works per slice unchanged. Dead query
+    blocks (scalar-prefetched flag) write zeros and skip."""
+    d_head = q_ref.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(d_head)
+
+    @pl.when(flag_ref[pl.program_id(0), pl.program_id(1)] == 0)
+    def _skip():
+        o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
+
+    @pl.when(flag_ref[pl.program_id(0), pl.program_id(1)] != 0)
+    def _compute():
+        _fwd_qb_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+                     n_head=n_head, p=p)
+
+
+def _fwd_qb_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
+                 *, n_head: int, p: float):
     d_head = q_ref.shape[-1] // n_head
     scale = 1.0 / math.sqrt(d_head)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
@@ -186,22 +252,37 @@ def _fwd_kernel_qb(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
     o_ref[0] = jnp.concatenate(outs, axis=-1) * (1.0 - no_valid)
 
 
-def _bwd_kernel_qb(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+def _bwd_kernel_qb(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
                    dq_ref, dk_ref, dv_ref, *, n_head: int, p: float):
     """Query-blocked backward: dq per slice; dk/dv accumulate across the
     s-blocks of one scene (the inner grid dim — TPU grids run sequentially,
-    and the dk/dv output block is revisited for every s of the same b)."""
+    and the dk/dv output block is revisited for every s of the same b).
+    Dead query blocks contribute exactly zero (g rows are zero) and skip;
+    the dk/dv zero-init at s == 0 runs regardless."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    @pl.when(flag_ref[pl.program_id(0), pl.program_id(1)] == 0)
+    def _skip():
+        dq_ref[:] = jnp.zeros(dq_ref.shape, jnp.float32)
+
+    @pl.when(flag_ref[pl.program_id(0), pl.program_id(1)] != 0)
+    def _compute():
+        _bwd_qb_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, n_head=n_head, p=p)
+
+
+def _bwd_qb_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
+                 dq_ref, dk_ref, dv_ref, *, n_head: int, p: float):
     d_head = q_ref.shape[-1] // n_head
     scale = 1.0 / math.sqrt(d_head)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     inv = inv_ref[0].astype(jnp.float32)
     no_valid, use_mask = _scene_consts(inv)
     g = g_ref[0] * (1.0 - no_valid)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     dqs = []
     for h in range(n_head):
@@ -238,8 +319,17 @@ def _bwd_kernel_qb(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
     dq_ref[0] = jnp.concatenate(dqs, axis=-1)
 
 
+def _row_live(invalid, src_invalid):
+    """[B, S] live = real query row (not padding) with >=1 valid target."""
+    live = ~jnp.all(invalid, axis=-1)
+    if src_invalid is not None:
+        live = live & ~src_invalid
+    return live
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_attention_train(q, k, v, invalid, seed, n_head: int, p: float):
+def fused_attention_train(q, k, v, invalid, seed, n_head: int, p: float,
+                          src_invalid=None):
     """Differentiable masked MHA core with in-kernel attention dropout.
 
     q [B,S,D], k/v [B,T,D] fp32; invalid [B,S,T] bool (True = disallowed
@@ -247,51 +337,65 @@ def fused_attention_train(q, k, v, invalid, seed, n_head: int, p: float):
     dropout rng per call, so every scan step draws fresh masks). Returns
     [B,S,D]. Use only when fused_attention_train_fits (caller gates);
     p=0 skips the PRNG entirely (works in interpret mode).
+
+    `src_invalid` [B,S] (optional) marks dead query rows (padding slots):
+    blocks of them skip in fwd AND bwd. Exact where consumed — callers zero
+    those rows before any consumer (ref transformer.py:236-239), so their
+    outputs are masked and their upstream grads are zero.
     """
-    return _call_fwd(q, k, v, invalid, n_head, p, seed)
+    return _call_fwd(q, k, v, invalid, n_head, p, seed, src_invalid)
 
 
-def _call_fwd(q, k, v, invalid, n_head, p, seed):
+def _call_fwd(q, k, v, invalid, n_head, p, seed, src_invalid=None):
     B, S, D = q.shape
     T = k.shape[1]
     G = _pick_block(B, S, T, D)
     interpret = jax.default_backend() != "tpu"
+    live = _row_live(invalid, src_invalid)
     if G is None:
         SB = _pick_sblock(S, T, D)
         assert SB is not None, "caller must gate on fused_attention_train_fits"
+        flags = jnp.any(live.reshape(B, S // SB, SB), axis=-1).astype(jnp.int32)
         kernel = functools.partial(_fwd_kernel_qb, n_head=n_head, p=p)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((B, S, D), jnp.float32),
-            grid=(B, S // SB),
-            in_specs=[
-                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, SB, T), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, S // SB),
+                in_specs=[
+                    pl.BlockSpec((1, SB, D), lambda b, s, f: (b, s, 0)),
+                    pl.BlockSpec((1, T, D), lambda b, s, f: (b, 0, 0)),
+                    pl.BlockSpec((1, T, D), lambda b, s, f: (b, 0, 0)),
+                    pl.BlockSpec((1, SB, T), lambda b, s, f: (b, s, 0)),
+                    pl.BlockSpec((1,), lambda b, s, f: (0,), memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((1, SB, D), lambda b, s, f: (b, s, 0)),
+            ),
             interpret=interpret,
             **_COMPILER_PARAMS,
-        )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        )(flags, q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
           invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1))
+    flags = jnp.any(live.reshape(B // G, G * S), axis=-1).astype(jnp.int32)
     kernel = functools.partial(_fwd_kernel, n_head=n_head, block_b=G, p=p)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, S, D), jnp.float32),
-        grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((G, S, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, T, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, T, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, S, T), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((1,), lambda b, f: (0,), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((G, S, D), lambda b, f: (b, 0, 0)),
+        ),
         interpret=interpret,
         **_COMPILER_PARAMS,
-    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+    )(flags, q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
       invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1))
 
 
@@ -299,18 +403,21 @@ def fused_attention_train_fits(B, S, T, D) -> bool:
     return _pick_block(B, S, T, D) is not None or _pick_sblock(S, T, D) is not None
 
 
-def _vjp_fwd(q, k, v, invalid, seed, n_head, p):
-    return _call_fwd(q, k, v, invalid, n_head, p, seed), (q, k, v, invalid, seed)
+def _vjp_fwd(q, k, v, invalid, seed, n_head, p, src_invalid=None):
+    out = _call_fwd(q, k, v, invalid, n_head, p, seed, src_invalid)
+    return out, (q, k, v, invalid, seed, src_invalid)
 
 
 def _vjp_bwd(n_head, p, res, g):
-    q, k, v, invalid, seed = res
+    q, k, v, invalid, seed, src_invalid = res
     B, S, D = q.shape
     T = k.shape[1]
     G = _pick_block(B, S, T, D)
     interpret = jax.default_backend() != "tpu"
+    live = _row_live(invalid, src_invalid)
     if G is None:
         SB = _pick_sblock(S, T, D)
+        flags = jnp.any(live.reshape(B, S // SB, SB), axis=-1).astype(jnp.int32)
         kernel = functools.partial(_bwd_kernel_qb, n_head=n_head, p=p)
         dq, dk, dv = pl.pallas_call(
             kernel,
@@ -319,28 +426,33 @@ def _vjp_bwd(n_head, p, res, g):
                 jax.ShapeDtypeStruct((B, T, D), jnp.float32),
                 jax.ShapeDtypeStruct((B, T, D), jnp.float32),
             ),
-            grid=(B, S // SB),
-            in_specs=[
-                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, SB, T), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1,), lambda b, s: (0,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, SB, D), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-                # dk/dv: one block per scene, revisited (and accumulated)
-                # across the inner s-grid — TPU grids run sequentially
-                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, S // SB),
+                in_specs=[
+                    pl.BlockSpec((1, SB, D), lambda b, s, f: (b, s, 0)),
+                    pl.BlockSpec((1, T, D), lambda b, s, f: (b, 0, 0)),
+                    pl.BlockSpec((1, T, D), lambda b, s, f: (b, 0, 0)),
+                    pl.BlockSpec((1, SB, T), lambda b, s, f: (b, s, 0)),
+                    pl.BlockSpec((1,), lambda b, s, f: (0,), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, SB, D), lambda b, s, f: (b, s, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, SB, D), lambda b, s, f: (b, s, 0)),
+                    # dk/dv: one block per scene, revisited (and accumulated)
+                    # across the inner s-grid — TPU grids run sequentially
+                    pl.BlockSpec((1, T, D), lambda b, s, f: (b, 0, 0)),
+                    pl.BlockSpec((1, T, D), lambda b, s, f: (b, 0, 0)),
+                ),
             ),
             interpret=interpret,
             **_COMPILER_PARAMS,
-        )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        )(flags, q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
           invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1),
           g.astype(jnp.float32))
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None, None, None)
+    flags = jnp.any(live.reshape(B // G, G * S), axis=-1).astype(jnp.int32)
     kernel = functools.partial(_bwd_kernel, n_head=n_head, block_b=G, p=p)
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -349,26 +461,30 @@ def _vjp_bwd(n_head, p, res, g):
             jax.ShapeDtypeStruct((B, T, D), jnp.float32),
             jax.ShapeDtypeStruct((B, T, D), jnp.float32),
         ),
-        grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((G, S, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((G, S, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, T, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, T, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, S, T), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((1,), lambda b, f: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((G, S, D), lambda b, f: (b, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((G, S, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, T, D), lambda b, f: (b, 0, 0)),
+                pl.BlockSpec((G, T, D), lambda b, f: (b, 0, 0)),
+            ),
         ),
         interpret=interpret,
         **_COMPILER_PARAMS,
-    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+    )(flags, q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
       invalid.astype(jnp.int8), jnp.asarray(seed, jnp.int32).reshape(1),
       g.astype(jnp.float32))
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None, None)
 
 
 fused_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
