@@ -35,6 +35,14 @@ class DataConfig:
     n_agent_type: int = 3
     n_cmd: int = 8
     batch_size: int = 4
+    # slice the fixed map/agent capacities down to each batch's real maximum,
+    # rounded to (bucket_pl_multiple, bucket_agent_multiple) — every dense op
+    # shrinks with the real scene content, at the cost of one XLA recompile
+    # per distinct bucket tuple (see data/bucketing.py). Single-process only
+    # (per-process maxima would desynchronize the global program).
+    bucket_capacity: bool = False
+    bucket_pl_multiple: int = 128
+    bucket_agent_multiple: int = 16
     data_dir: str = "data/h5_womd"
     filename_train: str = "training"
     filename_val: str = "validation"

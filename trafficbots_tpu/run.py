@@ -203,6 +203,21 @@ def main(argv: Optional[List[str]] = None):
     # metrics files and stdout (ref waymo_motion.py:666,734,951-953, run.py:12)
     is_main = jax.process_index() == 0
 
+    # shape-bucketed batches (data/bucketing.py): slice the fixed map/agent
+    # capacities to each batch's real maximum before device placement
+    bucket = None
+    if cfg.data.bucket_capacity:
+        if jax.process_count() > 1:
+            if is_main:
+                print("bucket_capacity disabled: multi-process run "
+                      "(per-process maxima would desynchronize shapes)")
+        else:
+            from .data.bucketing import bucket_slice
+
+            bucket = lambda b: bucket_slice(
+                b, cfg.data.bucket_pl_multiple, cfg.data.bucket_agent_multiple
+            )[0]
+
     key = jax.random.PRNGKey(cfg.seed)
     logger = MetricsLogger(run_dir) if is_main else None
     prof = Profiler()
@@ -278,6 +293,8 @@ def main(argv: Optional[List[str]] = None):
 
         for epoch in range(start_epoch, n_epochs):
             for batch_np in train_iter_fn(epoch):
+                if bucket is not None:
+                    batch_np = bucket(batch_np)
                 batch = put_global_batch(batch_np, mesh)
                 key, k_step = jax.random.split(key)
                 with prof.phase("train_step"):
@@ -293,6 +310,8 @@ def main(argv: Optional[List[str]] = None):
             for i, batch_np in enumerate(val_iter_fn()):
                 if 0 <= val_batches <= i:
                     break
+                if bucket is not None:
+                    batch_np = bucket(batch_np)
                 key, k_val = jax.random.split(key)
                 with prof.phase("val_step"):
                     validator.step(params, batch_np, k_val)
@@ -351,6 +370,8 @@ def main(argv: Optional[List[str]] = None):
         for i, batch_np in enumerate(val_iter_fn()):
             if 0 <= val_batches <= i:
                 break
+            if bucket is not None:
+                batch_np = bucket(batch_np)
             key, k_val = jax.random.split(key)
             validator.step(params, batch_np, k_val)
         val_metrics = validator.epoch_end()
@@ -400,6 +421,8 @@ def main(argv: Optional[List[str]] = None):
         for i, batch_np in enumerate(test_iter_fn()):
             if 0 <= val_batches <= i:
                 break
+            if bucket is not None:
+                batch_np = bucket(batch_np)
             batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
             key, k_test = jax.random.split(key)
             with prof.phase("test_step"):
