@@ -31,7 +31,14 @@ def main():
     ap.add_argument("--n-iter", type=int, default=6)
     ap.add_argument("--dense", action="store_true",
                     help="all agents/polylines valid (padding-sensitivity bound)")
+    ap.add_argument("--bucket", action="store_true",
+                    help="apply data/bucketing.py host-side capacity slicing "
+                         "(timing only; equivalence is pinned by tests/test_bucketing.py). "
+                         "agent-steps/s keeps the UNSLICED capacity accounting so the "
+                         "number means 'same workload, faster program'.")
     args = ap.parse_args()
+    assert not (args.check and args.bucket), "--bucket is timing-only"
+    assert not (args.dense and args.bucket), "--bucket has no effect on dense batches"
 
     import jax
 
@@ -59,6 +66,11 @@ def main():
         if args.dense else {}
     )
     batch_np = synthetic_episode_batch(base.data, n_scene=n_scene, seed=0, **dense_kw)
+    if args.bucket:
+        from trafficbots_tpu.data.bucketing import bucket_slice
+
+        batch_np, buckets = bucket_slice(batch_np)
+        print("bucketed capacities:", buckets)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     def build(node_skip: bool, attn_skip: bool, kv_block: int = 0):

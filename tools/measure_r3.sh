@@ -20,6 +20,10 @@ run python tools/ab_padding_skip.py
 #     polylines valid (skips cannot fire — measures pure flag overhead and
 #     gives the honest dense-throughput number for PERF.md)
 run python tools/ab_padding_skip.py --dense
+# 0d. shape bucketing (host-side capacity slicing, data/bucketing.py) on
+#     top of the kernels: same workload with the capacity axes sliced to
+#     the batch's real content (128 pl / 16 agents on synthetic data)
+run python tools/ab_padding_skip.py --bucket
 # 1. headline eval bench (also primes the driver's compile cache)
 run env BENCH_TRAIN=0 python bench.py
 # 2. full bench incl. train step (dest-head factoring landed since r2)
