@@ -35,18 +35,41 @@ assert jax.local_device_count() == 4, jax.local_device_count()
 import numpy as np  # noqa: E402
 
 # --- direct check of the cross-host WOMD metric-input union -----------------
+# RAGGED on purpose: after pad-row filtering the final global batch leaves
+# processes with different batch COUNTS and different leading dims (process
+# 1 may even hold zero rows) — exactly the shape divergence an array-wise
+# allgather would crash on (real WOMD val: len(dataset) % batch_size != 0).
 from trafficbots_tpu.eval.womd import WOMDMetrics  # noqa: E402
 
 wm = WOMDMetrics("sync_test", step_gt=90, step_current=10)
 assert wm.enabled
-wm.engine._batches = [{"a": np.full((2, 3), pid, np.float32)}]
+if pid == 0:
+    wm.engine._batches = [
+        {"a": np.full((4, 3), 0.0, np.float32)},
+        {"a": np.full((3, 3), 0.5, np.float32)},
+    ]
+else:
+    wm.engine._batches = [{"a": np.full((2, 3), 1.0, np.float32)}]
 wm.sync()
-a = wm.engine._batches[0]["a"]
-assert a.shape == (4, 3), a.shape
-assert set(np.unique(a)) == {0.0, 1.0}, a
-# idempotent: a second sync must not re-concatenate
+rows = [b["a"].shape[0] for b in wm.engine._batches]
+assert rows == [4, 3, 2], rows  # union, ordered by process index
+assert set(np.unique(np.concatenate([b["a"] for b in wm.engine._batches]))) == {0.0, 0.5, 1.0}
+# idempotent: a second sync must not re-gather
 wm.sync()
-assert wm.engine._batches[0]["a"].shape == (4, 3)
+assert [b["a"].shape[0] for b in wm.engine._batches] == [4, 3, 2]
+
+# --- cross-host submission-payload union (ragged per-process lists) ---------
+from trafficbots_tpu.eval.submission import SubWOMD  # noqa: E402
+
+sub = SubWOMD(k_futures=2, activate=True)
+local_payloads = [b"p0a", b"p0b"] if pid == 0 else [b"p1a"]
+for k in sub.scenario_payloads:
+    sub.scenario_payloads[k] = list(local_payloads)
+sub.sync()
+for k in sub.scenario_payloads:
+    assert sub.scenario_payloads[k] == [b"p0a", b"p0b", b"p1a"], sub.scenario_payloads[k]
+sub.sync()  # idempotent
+assert sub.scenario_payloads[1] == [b"p0a", b"p0b", b"p1a"]
 
 # --- the real fit path over the 2-process mesh ------------------------------
 from trafficbots_tpu.run import main  # noqa: E402

@@ -55,6 +55,23 @@ def test_restore_trainer_state_backward_compat(tmp_path):
     assert int(out["epoch"]) == 0 and int(out["global_step"]) == 0
 
 
+def test_restore_superset_fallback_rejects_shape_mismatch(tmp_path):
+    """The superset fallback must not paper over a genuine config mismatch:
+    restoring a checkpoint trained at different model dims fails AT RESTORE
+    with a clear error, not deep inside model.apply."""
+    from trafficbots_tpu.training.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt._save("last", {"params": {"w": np.ones((3, 4), np.float32)},
+                        "extra": np.zeros(2, np.float32)})
+    # superset restore (params only) works when shapes agree
+    got = ckpt.restore("last", {"params": {"w": np.zeros((3, 4), np.float32)}})
+    np.testing.assert_array_equal(got["params"]["w"], np.ones((3, 4)))
+    # ... and raises when the target's shapes differ
+    with pytest.raises(ValueError, match="incompatible"):
+        ckpt.restore("last", {"params": {"w": np.zeros((3, 8), np.float32)}})
+
+
 def test_model_overrides_recipe(tmp_path):
     """The submission recipe: fit, then validate restoring `last` by explicit
     path with post-processing overridden on the CLI (the reference's

@@ -1,4 +1,5 @@
 """Tests for the proto wire encoder and the submission writer."""
+import os
 import struct
 import tarfile
 
@@ -113,3 +114,52 @@ def test_submission_writer(tmp_path):
     traj = decode_fields(st[1][2])
     xs = struct.unpack(f"<{len(traj[0][2])//4}f", traj[0][2])
     assert len(xs) == 16  # 2 Hz over 8 s
+
+
+def test_pack_test_submission_drops_pad_rows():
+    """The action=test packer must filter final-batch pad rows (duplicate
+    scenario_ids from the loader's pad-to-size) before they reach the
+    submission accumulator."""
+    from trafficbots_tpu.evaluation_loop import pack_test_submission
+
+    B, T80, A, K = 3, 80, 2, 2
+    rng = np.random.RandomState(1)
+    pred = {
+        "waymo_trajs": rng.randn(B, T80, A, K, 2).astype(np.float32),
+        "waymo_scores": np.full((B, A, K), 1.0 / K, np.float32),
+    }
+    batch_np = {
+        "history/agent/role": np.tile(
+            np.array([[[False, False, True], [False, False, False]]]), (B, 1, 1)
+        ),
+        "history/agent/object_id": np.tile(np.array([[7, 8]]), (B, 1)),
+        "scenario_center": np.zeros((B, 2), np.float32),
+        "scenario_yaw": np.zeros((B,), np.float32),
+        "scenario_id": ["s0", "s1", "s1"],
+        "pad_mask": [False, False, True],  # row 2 repeats row 1
+    }
+    sub = SubWOMD(k_futures=1, activate=True)
+    pack_test_submission(sub, pred, batch_np)
+    assert len(sub.scenario_payloads[1]) == 2  # pad row dropped
+    sids = [decode_fields(p)[0][2] for p in sub.scenario_payloads[1]]
+    assert sids == [b"s0", b"s1"]
+
+    # without pad_mask every row packs
+    sub2 = SubWOMD(k_futures=1, activate=True)
+    batch_np.pop("pad_mask")
+    pack_test_submission(sub2, pred, batch_np)
+    assert len(sub2.scenario_payloads[1]) == 3
+
+
+def test_cli_test_action_writes_submissions(tmp_path):
+    """e2e: action=test on synthetic data writes submission archives (the
+    reference's test_step + submission flow, ref waymo_motion.py:902-953)."""
+    from test_resume import TINY_OVERRIDES
+    from trafficbots_tpu.run import main
+
+    run = str(tmp_path / "run")
+    main(["action=test", f"run_dir={run}", "val_batches=1"] + TINY_OVERRIDES)
+    subdir = os.path.join(run, "submission")
+    assert os.path.isdir(subdir)
+    files = os.listdir(subdir)
+    assert any(f.endswith(".tar.gz") for f in files), files

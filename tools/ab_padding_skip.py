@@ -73,15 +73,9 @@ def main():
         print("bucketed capacities:", buckets)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-    def build(node_skip: bool, attn_skip: bool, kv_block: int = 0):
-        cfg = apply_override(
-            base, "model.map_encoder.fused_skip_invalid_blocks", str(node_skip).lower()
-        )
-        if kv_block:
-            cfg = apply_override(cfg, "model.as2pl_kv_block", str(kv_block))
-        # attention row-blocking: override at trace time via the module hook
-        FA._ROW_BLOCK_OVERRIDE = None if attn_skip else -1
-        model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
+    def make_eval_rollout(cfg, model):
+        """The ONE rollout recipe both the --check and timing paths jit —
+        a single definition so they cannot drift apart."""
 
         def eval_rollout(params, batch, key):
             pbatch = pre_processing(batch, cfg.model, training=False)
@@ -102,8 +96,22 @@ def main():
             )
             return buf.preds, buf.valid
 
+        return eval_rollout
+
+    def build(node_skip: bool, attn_skip: bool, kv_block: int = 0):
+        cfg = apply_override(
+            base, "model.map_encoder.fused_skip_invalid_blocks", str(node_skip).lower()
+        )
+        if kv_block:
+            cfg = apply_override(cfg, "model.as2pl_kv_block", str(kv_block))
+        # attention row-blocking: override at trace time via the module hook
+        FA._ROW_BLOCK_OVERRIDE = None if attn_skip else -1
+        model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
+
         # NOTE: trace happens inside this call, while the override is set
-        preds, valid = jax.jit(eval_rollout)(params, batch, jax.random.PRNGKey(1))
+        preds, valid = jax.jit(make_eval_rollout(cfg, model))(
+            params, batch, jax.random.PRNGKey(1)
+        )
         return cfg, model, params, preds, valid
 
     variants = [
@@ -141,27 +149,9 @@ def main():
         cfg, model, params, _, _ = build(ns, ak, kvb)
         # rebuild the jitted fn for timing (fresh trace under the override)
         FA._ROW_BLOCK_OVERRIDE = None if ak else -1
-
-        def eval_rollout(params, batch, key):
-            pbatch = pre_processing(batch, cfg.model, training=False)
-            feats = O.encode_episode_features(model, params, pbatch, training=False, key=None)
-            goal_gt, goal_valid = O.get_gt_goal(
-                cfg, pbatch["input/agent_valid"], pbatch["gt/goal"], pbatch["gt/dest"]
-            )
-            latent_post = model.apply(
-                {"params": params}, method="latent", posterior=True, **feats["latent_post"]
-            )
-            mask_tf = teacher_forcing_mask(
-                O.tf_cfg_to_sim(cfg.tf_reactive_replay), pbatch["gt/valid"]
-            )
-            buf = O.reactive_replay(
-                cfg, model, params, pbatch, feats["input"], latent_post,
-                goal_gt, goal_valid, mask_tf, key,
-                deterministic_latent=True, deterministic_action=True,
-            )
-            return jnp.sum(buf.preds)
-
-        fn = jax.jit(eval_rollout)
+        rollout = make_eval_rollout(cfg, model)
+        # D2H-sync methodology: reduce to one scalar read per iteration
+        fn = jax.jit(lambda params, batch, key: jnp.sum(rollout(params, batch, key)[0]))
         float(fn(params, batch, key))
         float(fn(params, batch, jax.random.fold_in(key, 99)))
         ts = []

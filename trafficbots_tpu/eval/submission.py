@@ -140,6 +140,24 @@ class SubWOMD:
                     sp.message(3, jp)
                 self.scenario_payloads[n_K].append(sp.serialize())
 
+    def sync(self) -> None:
+        """Merge every process's accumulated scenario payloads (ragged
+        per-process lists after loader sharding + pad-row filtering) so a
+        rank-0-only `save_sub_files` writes the COMPLETE submission on a
+        multi-host run. Idempotent no-op single-process."""
+        if not self.activate:
+            return
+        from ..parallel.mesh import allgather_pyobj
+
+        if getattr(self, "_synced", False):
+            return
+        self._synced = True
+        merged: Dict[int, List[bytes]] = {k: [] for k in self.scenario_payloads}
+        for payloads in allgather_pyobj(self.scenario_payloads):
+            for k, lst in payloads.items():
+                merged[k].extend(lst)
+        self.scenario_payloads = merged
+
     def save_sub_files(self, out_dir: str = ".") -> List[str]:
         """Ref submission.py:114-133."""
         if not self.activate:

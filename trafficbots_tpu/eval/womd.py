@@ -82,13 +82,19 @@ class WOMDMetrics:
         if jax.process_count() == 1 or getattr(self, "_synced", False):
             return
         self._synced = True
-        from jax.experimental import multihost_utils
+        # Per-process batch LISTS are ragged: the final global batch is
+        # padded to size and pad rows are filtered per process before
+        # update() (evaluation_loop.py), so both the list length and the
+        # leading dims differ across processes — gather picklable objects,
+        # not arrays. Every process ends with the identical merged list,
+        # ordered by process index; compute() then sees every scenario
+        # everywhere and rank-0 gating only decides who logs/writes.
+        from ..parallel.mesh import allgather_pyobj
 
-        self.engine._batches = [
-            {k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
-             for k, v in b.items()}
-            for b in self.engine._batches
-        ]
+        merged = []
+        for batches in allgather_pyobj(self.engine._batches):
+            merged.extend(batches)
+        self.engine._batches = merged
 
     def update(
         self, batch: Dict[str, np.ndarray], pred_traj: np.ndarray, pred_score: Optional[np.ndarray] = None

@@ -150,15 +150,10 @@ class Validator:
         )
         self.sub_rr = sub_rr or SubWOMD(k_futures=1, activate=False)
         self.sub_jf = sub_jf or SubWOMD(k_futures=cfg.n_joint_future, activate=False)
-        if jax.process_count() > 1 and (self.sub_rr.activate or self.sub_jf.activate):
-            # submission packing needs host-side scenario_id strings that do
-            # not cross hosts; the reference writes submissions single-GPU
-            # only too (ref submission.py:12) — run action=validate on one
-            # process for leaderboard files.
-            import warnings
-
-            warnings.warn("submission writing requires a single-process run; disabling")
-            self.sub_rr.activate = self.sub_jf.activate = False
+        # multi-process: each process packs its own loader shard's scenes and
+        # SubWOMD.sync() (called in epoch_end) unions the payloads so the
+        # rank-0 write is complete — unlike the reference, which restricts
+        # submission writing to single-GPU runs (ref submission.py:12)
         self._jitted = None
         self.reset()
 
@@ -251,9 +246,9 @@ class Validator:
         self.womd_rr.update(batch_np, trajs_rr, scores_rr)
         self.womd_jf.update(batch_np, trajs_jf, scores_jf)
 
-        # submissions accumulate on process 0 only (ref submission.py:12,
-        # waymo_motion.py:951-953 rank-0 gating)
-        if (self.sub_rr.activate or self.sub_jf.activate) and jax.process_index() == 0:
+        # every process packs its local rows; the epoch-end sync unions them
+        # (the WRITE stays rank-0-gated in run.py — ref waymo_motion.py:951-953)
+        if self.sub_rr.activate or self.sub_jf.activate:
             common = dict(
                 mask_pred=mask_pred,
                 object_id=object_id,
@@ -277,10 +272,13 @@ class Validator:
         for name in ("vae_kl", "diffbar_reward", "goal_loss"):
             if f"{name}_sum" in tm:
                 out[f"reactive_replay/{name}"] = float(tm[f"{name}_sum"]) / max(float(tm[f"{name}_count"]), 1.0)
-        # cross-host union of WOMD metric inputs (collective; no-op when
-        # single-process) before the host-side metric math
+        # cross-host union of WOMD metric inputs and submission payloads
+        # (collective; no-op when single-process) before the host-side
+        # metric math / rank-0 file write
         self.womd_rr.sync()
         self.womd_jf.sync()
+        self.sub_rr.sync()
+        self.sub_jf.sync()
         out.update(self.womd_rr.compute())
         out.update(self.womd_jf.compute())
         if "joint_future_pred/mean_average_precision" in out:
@@ -500,3 +498,35 @@ def test_step_device(cfg: ExperimentConfig, model, params, batch, key):
         agent_type=pb["ref/agent_type"],
     )
     return pred
+
+
+def pack_test_submission(sub, pred, batch_np: Dict[str, np.ndarray]) -> None:
+    """Pack one test batch's device outputs into the submission accumulator.
+
+    Final-batch pad rows (h5_loader repeats the last episodes so device
+    shapes stay static; `pad_mask` rides along) are dropped HERE — compute
+    ran on the full padded batch, but duplicate scenario_ids must not reach
+    the submission file. Ref waymo_motion.py:902-949 + submission.py:45-112.
+    """
+    mask_pred = np.asarray(batch_np["history/agent/role"])[..., 2]
+    n_scene, n_agent = mask_pred.shape
+    keep = ~np.asarray(batch_np.get("pad_mask", [False] * n_scene), bool)
+    sids = batch_np.get(
+        "scenario_id", [str(s) for s in batch_np.get("episode_idx", range(n_scene))]
+    )
+    sub.add_to_submissions(
+        np.asarray(pred["waymo_trajs"])[keep],
+        np.asarray(pred["waymo_scores"])[keep],
+        mask_pred=mask_pred[keep],
+        object_id=np.asarray(
+            batch_np.get(
+                "history/agent/object_id",
+                np.broadcast_to(np.arange(n_agent), (n_scene, n_agent)),
+            )
+        )[keep],
+        scenario_center=np.asarray(
+            batch_np.get("scenario_center", np.zeros((n_scene, 2)))
+        )[keep],
+        scenario_yaw=np.asarray(batch_np.get("scenario_yaw", np.zeros(n_scene)))[keep],
+        scenario_id=[s for s, k in zip(sids, keep) if k],
+    )

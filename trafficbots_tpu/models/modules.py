@@ -251,25 +251,21 @@ class Attention(nn.Module):
                 fused_attention_train, fused_attention_train_fits,
             )
 
-            if fused_attention_train_fits(B, S, T, self.d_model):
-                inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)
-                if self.dropout_p > 0:
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
-                    )
-                else:
-                    seed = jnp.zeros((), jnp.int32)
-                out = fused_attention_train(
-                    q.astype(jnp.float32), k.astype(jnp.float32),
-                    v.astype(jnp.float32), inv, seed,
-                    self.n_head, float(self.dropout_p), src_padding_mask,
-                )
-                attn = None
-                use_fused = False
-            else:
-                use_fused_train = False
+            use_fused_train = fused_attention_train_fits(B, S, T, self.d_model)
         if use_fused_train:
-            pass
+            inv = invalid if invalid is not None else jnp.zeros((B, S, T), bool)
+            if self.dropout_p > 0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_attention_train(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), inv, seed,
+                self.n_head, float(self.dropout_p), src_padding_mask,
+            )
+            attn = None
         elif use_fused:
             from ..ops.fused_attention import fused_attention_core
 

@@ -70,9 +70,6 @@ def _scene_consts(inv):
 
 def _fwd_kernel(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
                 *, n_head: int, block_b: int, p: float):
-    d_head = q_ref.shape[-1] // n_head
-    scale = 1.0 / math.sqrt(d_head)
-
     # scalar-prefetched any-live flag per grid step: skip scene groups whose
     # query rows are ALL dead (padding slots / no valid target) — their
     # outputs are zeroed by the caller either way
@@ -113,9 +110,6 @@ def _fwd_dense_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
 
 def _bwd_kernel(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, n_head: int, block_b: int, p: float):
-    d_head = q_ref.shape[-1] // n_head
-    scale = 1.0 / math.sqrt(d_head)
-
     # dead scene groups: upstream g is 0 (callers zero dead rows), every
     # grad term is linear in g -> all three grads are exactly zero
     @pl.when(flag_ref[pl.program_id(0)] == 0)

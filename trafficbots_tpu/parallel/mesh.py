@@ -20,6 +20,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def allgather_pyobj(obj: Any) -> list:
+    """Gather an arbitrary picklable host-side object from every process.
+
+    Returns [obj_from_process_0, ..., obj_from_process_{P-1}], identical on
+    all processes. Used where per-process collections are RAGGED (metric
+    batches / submission payloads after per-process pad-row filtering) —
+    array-wise `process_allgather` would build inconsistent collectives when
+    the local leading dims differ, so serialize to bytes, exchange sizes
+    (fixed [1]-shaped gather), zero-pad to the max and gather one fixed-size
+    uint8 buffer. The torchmetrics `dist_sync_on_step` analog for host data
+    (ref womd.py:44-49). Single-process: returns [obj] without any
+    collective.
+    """
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL), dtype=np.uint8
+    )
+    sizes = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([payload.size], np.int64), tiled=True
+        )
+    ).reshape(-1)
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[: payload.size] = payload
+    gathered = np.asarray(
+        multihost_utils.process_allgather(buf, tiled=True)
+    ).reshape(jax.process_count(), -1)
+    return [
+        pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+        for p in range(jax.process_count())
+    ]
+
+
 def make_mesh(n_data: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:

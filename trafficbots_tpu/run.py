@@ -399,7 +399,7 @@ def main(argv: Optional[List[str]] = None):
     elif action == "test":
         # Test split: no GT — prior latent + predicted goal, submission files
         # only. Ref waymo_motion.py:902-953 + submission.py.
-        from .evaluation_loop import test_step_device
+        from .evaluation_loop import pack_test_submission, test_step_device
         from .eval.submission import SubWOMD
 
         target = _resolve_resume(ckpt, resume, default="best", required=True) if resume else None
@@ -427,21 +427,10 @@ def main(argv: Optional[List[str]] = None):
             key, k_test = jax.random.split(key)
             with prof.phase("test_step"):
                 pred = jitted(params, batch, k_test)
-            mask_pred = np.asarray(batch_np["history/agent/role"])[..., 2]
-            n_scene, n_agent = mask_pred.shape
-            sub.add_to_submissions(
-                np.asarray(pred["waymo_trajs"]),
-                np.asarray(pred["waymo_scores"]),
-                mask_pred=mask_pred,
-                object_id=np.asarray(
-                    batch_np.get("history/agent/object_id", np.broadcast_to(np.arange(n_agent), (n_scene, n_agent)))
-                ),
-                scenario_center=np.asarray(batch_np.get("scenario_center", np.zeros((n_scene, 2)))),
-                scenario_yaw=np.asarray(batch_np.get("scenario_yaw", np.zeros(n_scene))),
-                scenario_id=batch_np.get(
-                    "scenario_id", [str(s) for s in batch_np.get("episode_idx", range(n_scene))]
-                ),
-            )
+            pack_test_submission(sub, pred, batch_np)
+        # multi-host: the loader is process-sharded, so each process packed
+        # only its own scenes — union the payloads before the rank-0 write
+        sub.sync()
         if is_main:
             paths = sub.save_sub_files(os.path.join(run_dir, "submission"))
             for p in paths:

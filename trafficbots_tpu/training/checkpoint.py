@@ -89,11 +89,29 @@ class CheckpointManager:
         stored tree, so fall back to reading the full tree and selecting."""
         try:
             return self._ckptr.restore(self._path(name), target=target)
-        except ValueError:
+        except ValueError as err:
             full = self._ckptr.restore(self._path(name), target=None)
             if any(k not in full for k in target):
                 raise
-            return {k: full[k] for k in target}
+            out = {k: full[k] for k in target}
+            # the fallback exists ONLY for strict-superset checkpoints:
+            # verify the selected subtrees match the target's structure and
+            # leaf shapes so a genuine mismatch (checkpoint from a different
+            # model config) still fails HERE with a clear error instead of
+            # handing back incompatible params that crash deep in apply()
+            t_leaves, t_def = jax.tree.flatten(target)
+            o_leaves, o_def = jax.tree.flatten(out)
+            if t_def != o_def:
+                raise
+            for tl, ol in zip(t_leaves, o_leaves):
+                ts, os_ = getattr(tl, "shape", None), getattr(ol, "shape", None)
+                if ts is not None and os_ is not None and tuple(ts) != tuple(os_):
+                    raise ValueError(
+                        f"checkpoint {name!r} is incompatible with the current "
+                        f"model config: stored leaf shape {tuple(os_)} != "
+                        f"target {tuple(ts)}"
+                    ) from err
+            return out
 
     def restore_trainer_state(self, name: str, target: Dict[str, Any]) -> Dict[str, Any]:
         """Restore a full trainer state, tolerating checkpoints written
