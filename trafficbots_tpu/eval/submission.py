@@ -76,8 +76,18 @@ class SubWOMD:
             method_link=method_link,
         )
         self.k_futures = k_futures
+        self.reset()
+
+    def reset(self) -> None:
+        """Clear accumulated payloads and re-arm sync() — mirrors
+        WOMDMetrics.reset() so a Validator reused across epochs neither
+        duplicates prior epochs' scenarios nor (multi-host) silently skips
+        the cross-process union after the first epoch."""
         # per K: list of serialized ChallengeScenarioPredictions
-        self.scenario_payloads: Dict[int, List[bytes]] = {k: [] for k in range(1, k_futures + 1)}
+        self.scenario_payloads: Dict[int, List[bytes]] = {
+            k: [] for k in range(1, self.k_futures + 1)
+        }
+        self._synced = False
 
     def add_to_submissions(
         self,
@@ -145,12 +155,10 @@ class SubWOMD:
         per-process lists after loader sharding + pad-row filtering) so a
         rank-0-only `save_sub_files` writes the COMPLETE submission on a
         multi-host run. Idempotent no-op single-process."""
-        if not self.activate:
+        if not self.activate or self._synced:
             return
         from ..parallel.mesh import allgather_pyobj
 
-        if getattr(self, "_synced", False):
-            return
         self._synced = True
         merged: Dict[int, List[bytes]] = {k: [] for k in self.scenario_payloads}
         for payloads in allgather_pyobj(self.scenario_payloads):

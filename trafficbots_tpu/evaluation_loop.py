@@ -163,6 +163,8 @@ class Validator:
         }
         self.womd_rr.reset()
         self.womd_jf.reset()
+        self.sub_rr.reset()
+        self.sub_jf.reset()
 
     def _local_rows(self, x) -> np.ndarray:
         """Device output -> the numpy rows belonging to THIS process.

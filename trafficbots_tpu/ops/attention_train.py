@@ -211,9 +211,6 @@ def _fwd_kernel_qb(flag_ref, q_ref, k_ref, v_ref, inv_ref, seed_ref, o_ref,
     """Grid (B, S/SB): one scene's k/v whole, one SB-row query slice. The
     NaN guard is row-local, so it works per slice unchanged. Dead query
     blocks (scalar-prefetched flag) write zeros and skip."""
-    d_head = q_ref.shape[-1] // n_head
-    scale = 1.0 / math.sqrt(d_head)
-
     @pl.when(flag_ref[pl.program_id(0), pl.program_id(1)] == 0)
     def _skip():
         o_ref[:] = jnp.zeros(o_ref.shape, jnp.float32)
@@ -313,12 +310,7 @@ def _bwd_qb_body(q_ref, k_ref, v_ref, inv_ref, seed_ref, g_ref,
     dq_ref[0] = jnp.concatenate(dqs, axis=-1)
 
 
-def _row_live(invalid, src_invalid):
-    """[B, S] live = real query row (not padding) with >=1 valid target."""
-    live = ~jnp.all(invalid, axis=-1)
-    if src_invalid is not None:
-        live = live & ~src_invalid
-    return live
+from .kernel_common import row_live as _row_live  # noqa: E402  (one liveness definition)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

@@ -33,11 +33,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_common import row_live
+
 _NEG_INF = float("-inf")
 
 # A/B escape hatch for perf tools: overrides every call's row_block at trace
-# time (0 = auto query blocks with dead-block skipping, -1 = whole-S blocks
-# as in round 2). Not for production use — set TB_ATTN_ROW_BLOCK in the env.
+# time (0 = auto query blocks with dead-block skipping, -1 = the round-2
+# control: round-2 block choice — whole-S when it fits, else the largest
+# fitting divisor — with the skip flags forced live, so the SAME Pallas
+# kernel runs everywhere round 2 ran it and never silently falls back to
+# XLA). Not for production use — set TB_ATTN_ROW_BLOCK in the env.
 import os as _os
 
 _ROW_BLOCK_OVERRIDE = (
@@ -243,7 +248,8 @@ def fused_attention_core(q, k, v, invalid, src_invalid, n_head: int, row_block: 
     transformer.py:236-239), and their upstream grads are 0, so both values
     and gradients match the unskipped computation where they are consumed.
     `row_block`: query rows per grid step (0 = auto ~8 skip-granular
-    blocks, -1 = one whole-S block as in round 2). `kv_block` > 0 selects
+    blocks, -1 = round-2 A/B control: round-2 block choice with the skip
+    flags forced live). `kv_block` > 0 selects
     the flash K/V-block path (_flash_forward): padded target blocks skip
     compute AND their HBM stream."""
     return _pallas_forward(q, k, v, invalid, src_invalid, n_head, row_block, kv_block)
@@ -287,10 +293,23 @@ def _pallas_forward(q, k, v, invalid, src_invalid, n_head: int, row_block: int =
     def fits_g(g, sb):
         return g * (sb * D * 8 + kv_bytes + sb * T * 9) < 12 * 2**20
 
+    skip_off = row_block < 0  # A/B control: round-2 blocking, flags forced live
     if row_block > 0 and S % row_block == 0 and fits_g(1, row_block):
         SB = row_block
-    elif row_block < 0:  # blocking disabled (A/B escape hatch)
-        SB = S if fits_g(1, S) else None
+    elif skip_off:
+        # round-2 block choice: one whole-S block when it fits, else the
+        # largest fitting divisor (the round-2 SB search for the oversized
+        # latent as2pl) — the control must run the same Pallas kernel round
+        # 2 ran, never the XLA fallback, or the A/B measures kernel routing
+        # instead of the skip
+        if fits_g(1, S):
+            SB = S
+        else:
+            SB = next(
+                (d for d in range(S // 2, 31, -1)
+                 if S % d == 0 and d % 8 == 0 and fits_g(1, d)),
+                None,
+            )
     else:
         SB = _pick_row_block(S, lambda sb: fits_g(1, sb))
     if SB is None:
@@ -303,11 +322,12 @@ def _pallas_forward(q, k, v, invalid, src_invalid, n_head: int, row_block: int =
     # a real (non-padding) query AND has at least one valid target. Fixed-
     # capacity agent/polyline slots past the real prefix are dead, so whole
     # blocks of them skip.
-    row_live = ~jnp.all(invalid, axis=-1)  # [B, S]
-    if src_invalid is not None:
-        row_live = row_live & ~src_invalid
+    if skip_off:
+        live = jnp.ones((B, S), bool)
+    else:
+        live = row_live(invalid, src_invalid)
     flags = (
-        row_live.reshape(B // G, G, S // SB, SB)
+        live.reshape(B // G, G, S // SB, SB)
         .any(axis=(1, 3))
         .astype(jnp.int32)
     )

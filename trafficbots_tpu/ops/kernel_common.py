@@ -20,6 +20,20 @@ except Exception:  # pragma: no cover - older pallas without CompilerParams
     COMPILER_PARAMS = {}
 
 
+def row_live(invalid, src_invalid):
+    """[B, S] live = real query row (not padding) with >=1 valid target.
+
+    The ONE definition of query-row liveness that feeds every kernel's
+    dead-block skip flags (eval fused_attention + train attention_train);
+    if the notion of "dead row" ever changes, eval and train must move
+    together or their skip semantics silently diverge.
+    """
+    live = ~jnp.all(invalid, axis=-1)
+    if src_invalid is not None:
+        live = live & ~src_invalid
+    return live
+
+
 def dropout_mask(shape, idx, p: float, seed_ref):
     """Inverted-dropout mask regenerable at any walk order.
 
