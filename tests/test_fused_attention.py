@@ -198,3 +198,45 @@ def test_flash_kv_block_path_matches_reference():
                   argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_row_block_control_never_falls_back_to_xla(monkeypatch):
+    """The A/B control (row_block=-1) must run the SAME Pallas kernel with
+    skip flags forced live — including the oversized-S case (the latent
+    as2pl at S=1216) where one whole-S block exceeds VMEM and round 2 used
+    a divisor block search. A silent XLA fallback there would make the
+    padding-skip A/B measure kernel routing instead of the skip."""
+    import trafficbots_tpu.ops.fused_attention as FA
+
+    B, S, T, D = 1, 1216, 1024, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = _rand(ks[0], (B, S, D))
+    k = _rand(ks[1], (B, T, D))
+    v = _rand(ks[2], (B, T, D))
+    # prefix liveness: only the first 64 query rows are real, so every
+    # auto-chosen block past the first is fully dead and skips
+    src_invalid = jnp.arange(S)[None, :] >= 64
+    invalid = jax.random.bernoulli(ks[3], 0.2, (B, S, T))
+    ref = np.asarray(_xla_reference(q, k, v, invalid, 4))
+
+    # whole-S does not fit the 12 MB budget at these dims (that is the point)
+    assert not (S * D * 8 + 2 * T * D * 4 + S * T * 9) < 12 * 2**20
+
+    def _boom(*a, **kw):
+        raise AssertionError("row_block=-1 fell back to the XLA reference")
+
+    monkeypatch.setattr(FA, "_xla_reference", _boom)
+    out_ctl = np.asarray(fused_attention_core(q, k, v, invalid, src_invalid, 4, -1))
+    out_def = np.asarray(fused_attention_core(q, k, v, invalid, src_invalid, 4, 0))
+    monkeypatch.undo()
+
+    live = ~np.asarray(src_invalid)[0]
+    # live rows: both paths agree with the reference (control lifts only the
+    # SKIP, not the math; XLA-vs-Pallas matmul tiling differences stay tiny)
+    np.testing.assert_allclose(out_ctl[0, live], ref[0, live], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_def[0, live], ref[0, live], rtol=1e-5, atol=1e-5)
+    # default path zeroes the dead query rows of fully-dead blocks it
+    # skipped (the first block still contains the live prefix, so only
+    # assert past it; its dead-row values are garbage-the-caller-masks)
+    sb = 152  # _pick_row_block(1216): smallest 8-multiple divisor >= ceil(S/8)
+    np.testing.assert_array_equal(out_def[0, sb:], 0.0)
