@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--n-iter", type=int, default=6)
     ap.add_argument("--dense", action="store_true",
                     help="all agents/polylines valid (padding-sensitivity bound)")
+    ap.add_argument("--fill", type=str, default="",
+                    help="'n_pl,n_agent' valid-entity counts (e.g. 768,40 for a "
+                         "WOMD-like fill between the sparse synthetic default "
+                         "and --dense)")
     ap.add_argument("--bucket", action="store_true",
                     help="apply data/bucketing.py host-side capacity slicing "
                          "(timing only; equivalence is pinned by tests/test_bucketing.py). "
@@ -65,6 +69,9 @@ def main():
         {"n_valid_agent": base.data.n_agent, "n_valid_pl": base.data.n_pl}
         if args.dense else {}
     )
+    if args.fill:
+        n_pl, n_ag = (int(x) for x in args.fill.split(","))
+        dense_kw = {"n_valid_pl": n_pl, "n_valid_agent": n_ag}
     batch_np = synthetic_episode_batch(base.data, n_scene=n_scene, seed=0, **dense_kw)
     if args.bucket:
         from trafficbots_tpu.data.bucketing import bucket_slice

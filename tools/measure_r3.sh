@@ -24,6 +24,9 @@ run python tools/ab_padding_skip.py --dense
 #     top of the kernels: same workload with the capacity axes sliced to
 #     the batch's real content (128 pl / 16 agents on synthetic data)
 run python tools/ab_padding_skip.py --bucket
+# 0e. WOMD-like fill (between the sparse synthetic default and --dense):
+#     what the skips buy on realistically-filled scenes
+run python tools/ab_padding_skip.py --fill 768,40
 # 1. headline eval bench (also primes the driver's compile cache)
 run env BENCH_TRAIN=0 python bench.py
 # 2. full bench incl. train step (dest-head factoring landed since r2)
