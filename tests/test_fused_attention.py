@@ -240,3 +240,26 @@ def test_row_block_control_never_falls_back_to_xla(monkeypatch):
     # assert past it; its dead-row values are garbage-the-caller-masks)
     sb = 152  # _pick_row_block(1216): smallest 8-multiple divisor >= ceil(S/8)
     np.testing.assert_array_equal(out_def[0, sb:], 0.0)
+
+
+def test_pad_skip_kill_switch(monkeypatch):
+    """TB_PAD_SKIP=0 (kernel_common.PAD_SKIP_ENABLED=False) must force every
+    skip flag live: dead query blocks are then COMPUTED (matching the
+    reference everywhere) instead of zero-filled."""
+    from trafficbots_tpu.ops import kernel_common
+
+    B, S, T, D = 2, 32, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = _rand(ks[0], (B, S, D))
+    k = _rand(ks[1], (B, T, D))
+    v = _rand(ks[2], (B, T, D))
+    src_invalid = jnp.arange(S)[None, :] >= 8  # rows 8.. dead
+    invalid = jax.random.bernoulli(ks[3], 0.2, (B, S, T))
+    ref = np.asarray(_xla_reference(q, k, v, invalid, 2))
+
+    out_skip = np.asarray(fused_attention_core(q, k, v, invalid, src_invalid, 2, 8))
+    np.testing.assert_array_equal(out_skip[:, 8:], 0.0)  # dead blocks skipped
+
+    monkeypatch.setattr(kernel_common, "PAD_SKIP_ENABLED", False)
+    out_live = np.asarray(fused_attention_core(q, k, v, invalid, src_invalid, 2, 8))
+    np.testing.assert_allclose(out_live, ref, rtol=1e-5, atol=1e-5)

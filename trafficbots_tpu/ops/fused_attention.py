@@ -189,8 +189,13 @@ def _flash_forward(q, k, v, invalid, n_head: int, kv_block: int):
     if G is None:
         return None
 
-    col_used = ~jnp.all(invalid, axis=1)  # [B, T] some query allows col t
-    used = jnp.any(col_used.reshape(B // G, G, NT, TB), axis=(1, 3))  # [Bg, NT]
+    from .kernel_common import PAD_SKIP_ENABLED
+
+    if PAD_SKIP_ENABLED:
+        col_used = ~jnp.all(invalid, axis=1)  # [B, T] some query allows col t
+        used = jnp.any(col_used.reshape(B // G, G, NT, TB), axis=(1, 3))  # [Bg, NT]
+    else:
+        used = jnp.ones((B // G, NT), bool)
     idx = jnp.where(used, jnp.arange(NT, dtype=jnp.int32)[None, :], -1)
     fetch = jnp.maximum(jax.lax.cummax(idx, axis=1), 0).astype(jnp.int32)
     used = used.astype(jnp.int32)

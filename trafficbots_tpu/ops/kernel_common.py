@@ -20,14 +20,27 @@ except Exception:  # pragma: no cover - older pallas without CompilerParams
     COMPILER_PARAMS = {}
 
 
+# TB_PAD_SKIP=0 forces every padding-skip flag live (attention query
+# blocks, node-encoder polyline blocks, train dead-row skips): the kernels
+# keep their structure but compute every block. The on-chip bisection lever
+# when a skip variant misbehaves under Mosaic, and the safe mode while the
+# skips are unverified on hardware. Read at import (trace) time.
+import os as _os  # noqa: E402
+
+PAD_SKIP_ENABLED = _os.environ.get("TB_PAD_SKIP", "1") != "0"
+
+
 def row_live(invalid, src_invalid):
     """[B, S] live = real query row (not padding) with >=1 valid target.
 
     The ONE definition of query-row liveness that feeds every kernel's
     dead-block skip flags (eval fused_attention + train attention_train);
     if the notion of "dead row" ever changes, eval and train must move
-    together or their skip semantics silently diverge.
+    together or their skip semantics silently diverge. Under TB_PAD_SKIP=0
+    every row reports live, so no block skips anywhere.
     """
+    if not PAD_SKIP_ENABLED:
+        return jnp.ones(invalid.shape[:-1], bool)
     live = ~jnp.all(invalid, axis=-1)
     if src_invalid is not None:
         live = live & ~src_invalid

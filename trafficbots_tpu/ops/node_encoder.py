@@ -265,7 +265,9 @@ class FusedNodeEncoder(nn.Module):
             pl.BlockSpec(w.shape, lambda b, f, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
             for w in weights
         ]
-        if self.skip_invalid_blocks:
+        from .kernel_common import PAD_SKIP_ENABLED
+
+        if self.skip_invalid_blocks and PAD_SKIP_ENABLED:
             flags = jnp.any(valid.reshape(grid, -1), axis=-1).astype(jnp.int32)
         else:
             flags = jnp.ones((grid,), jnp.int32)

@@ -455,7 +455,12 @@ def reference_forward_with_masks(x, valid_f, weights, masks, n_layer, n_head, bl
 
 
 def _block_flags(valid_f, grid):
-    """int32 [grid] any-valid-node flag per kernel block."""
+    """int32 [grid] any-valid-node flag per kernel block (all-live under
+    TB_PAD_SKIP=0 — see kernel_common.PAD_SKIP_ENABLED)."""
+    from .kernel_common import PAD_SKIP_ENABLED
+
+    if not PAD_SKIP_ENABLED:
+        return jnp.ones((grid,), jnp.int32)
     return (jnp.max(valid_f.reshape(grid, -1), axis=-1) > 0).astype(jnp.int32)
 
 
