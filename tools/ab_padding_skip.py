@@ -17,6 +17,11 @@ Timing methodology per PERF.md: per-iteration device-to-host scalar read
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import time
