@@ -5,6 +5,12 @@ Runs the full-scale flagship model (64 agents, 1024 polylines, hidden 128,
 posterior latent, deterministic) as one jitted program on the available
 chip, and reports agent-steps/sec = batch * n_agent * n_rollout_steps / t.
 
+The headline `value` is measured at a WOMD-like validity fill (768/1024
+polylines, 40/64 agents real) so data-sparsity levers cannot inflate it;
+the sparse synthetic fill (128 pl / 16 agents) is reported alongside as
+`sparse_fill_agent_steps_per_sec`. Both run the SAME compiled program —
+fill only changes validity-mask data.
+
 Timing note: the result is reduced to a scalar checksum and pulled to the
 host every iteration — on the TPU-tunnel backend `block_until_ready()` does
 NOT actually block, so only a device-to-host read gives honest wall-clock.
@@ -59,8 +65,19 @@ def main():
     n_scene = int(os.environ.get("BENCH_N_SCENE", "128"))
     n_iter = int(os.environ.get("BENCH_N_ITER", "8"))
     cfg = ExperimentConfig(precision=os.environ.get("BENCH_PRECISION", "fp32"))
-    batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0)
+    # HEADLINE batch: WOMD-like fill (768/1024 polylines, 40/64 agents valid
+    # — matching real packed-scenario occupancy) so padding-skip levers
+    # cannot overstate the number (round-3 lesson: the sparse synthetic
+    # default, 128 pl/16 agents valid, flattered block-skip variants by up
+    # to 1.6x; see PERF.md round-4 fill-sensitivity table). The sparse fill
+    # is still measured and reported as a secondary key — same compiled
+    # program, validity masks are data.
+    batch_np = synthetic_episode_batch(
+        cfg.data, n_scene=n_scene, seed=0, n_valid_pl=768, n_valid_agent=40
+    )
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    sparse_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0)
+    sparse = {k: jnp.asarray(v) for k, v in sparse_np.items()}
     model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
 
     def eval_rollout(params, batch, key):
@@ -91,16 +108,21 @@ def main():
     float(fn(params, batch, key))
     float(fn(params, batch, jax.random.fold_in(key, 999)))
 
-    times = []
-    for i in range(n_iter):
-        t0 = time.perf_counter()
-        v = float(fn(params, batch, jax.random.fold_in(key, i)))  # D2H sync
-        times.append(time.perf_counter() - t0)
-    assert np.isfinite(v)
-    dt = sorted(times)[len(times) // 2]
-
     n_steps = cfg.time_step_end - cfg.time_step_sim_start + 1
-    agent_steps_per_sec = n_scene * cfg.data.n_agent * n_steps / dt
+
+    def timed_asps(b):
+        times = []
+        for i in range(n_iter):
+            t0 = time.perf_counter()
+            v = float(fn(params, b, jax.random.fold_in(key, i)))  # D2H sync
+            times.append(time.perf_counter() - t0)
+        assert np.isfinite(v)
+        dt = sorted(times)[len(times) // 2]
+        return n_scene * cfg.data.n_agent * n_steps / dt
+
+    agent_steps_per_sec = timed_asps(batch)
+    float(fn(params, sparse, key))  # steady-state warm call on the new data
+    sparse_asps = timed_asps(sparse)
 
     # ---- training-step throughput (forward + BPTT backward through the
     # 90-step scan with per-step remat + Adam), the 5-days-on-6-GPUs path.
@@ -115,7 +137,11 @@ def main():
             # batch 32: 124k vs 107k agent-steps/s at batch 8 (BPTT backward
             # is compute-bound; larger batches amortize the fixed overhead)
             n_scene_t = int(os.environ.get("BENCH_TRAIN_N_SCENE", "32"))
-            tb_np = synthetic_episode_batch(cfg.data, n_scene=n_scene_t, seed=1)
+            # same WOMD-like fill as the headline (round-4 honesty rule)
+            tb_np = synthetic_episode_batch(
+                cfg.data, n_scene=n_scene_t, seed=1,
+                n_valid_pl=768, n_valid_agent=40,
+            )
             tb = {k: jnp.asarray(v) for k, v in tb_np.items()}
             tx = make_optimizer(cfg, params)
             opt_state = tx.init(params)
@@ -138,6 +164,8 @@ def main():
         "value": round(agent_steps_per_sec, 1),
         "unit": "agent-steps/s",
         "vs_baseline": round(agent_steps_per_sec / BASELINE_AGENT_STEPS_PER_SEC_2080TI, 3),
+        "fill": "womd_like_768pl_40agents",
+        "sparse_fill_agent_steps_per_sec": round(sparse_asps, 1),
         "train_step_ms": round(train_ms, 1),
         "train_agent_steps_per_sec": round(train_asps, 1),
     }))

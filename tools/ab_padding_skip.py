@@ -2,9 +2,10 @@
 
 Variants:
   off        node-kernel skip off, attention row_block=-1 (round-2 behavior)
-  node_skip  node-kernel fully-padded-block skip only
+  node_skip  node-kernel fully-padded-block skip only (the round-4 DEFAULTS:
+             the fill-sensitivity A/B picked it — see PERF.md round 4)
   attn_skip  fused-attention query-block skip only (row_block auto)
-  both       both on (the defaults)
+  both       both on (the round-3 defaults, regressed at realistic fill)
 
 `--check` runs the eval rollout at a small batch for all variants and
 asserts the VALID-agent predictions are bit-identical to `off` — the skip
@@ -110,41 +111,32 @@ def main():
 
         return eval_rollout
 
-    def make_cfg_params(node_skip: bool, attn_skip: bool, kv_block: int = 0):
+    def make_cfg_params(node_skip: bool, attn_skip: bool):
         """Config + params under the variant's overrides. The row-block
         override is a TRACE-time hook: it must stay set while any program
         for this variant is traced."""
         cfg = apply_override(
             base, "model.map_encoder.fused_skip_invalid_blocks", str(node_skip).lower()
         )
-        if kv_block:
-            cfg = apply_override(cfg, "model.as2pl_kv_block", str(kv_block))
-        FA._ROW_BLOCK_OVERRIDE = None if attn_skip else -1
+        # round-4 defaults made row_block=-1 (skip off) the plumbed value, so
+        # the attn_skip variant must FORCE the auto skip-granular blocking
+        FA._ROW_BLOCK_OVERRIDE = 0 if attn_skip else -1
         model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
         return cfg, model, params
 
+    # (the round-3 flash kv-block variants are gone: the path lost the A/B at
+    # every fill and was removed from ops/fused_attention.py in round 4)
     variants = [
-        ("off", False, False, 0),
-        ("node_skip", True, False, 0),
-        ("attn_skip", False, True, 0),
-        ("both", True, True, 0),
-        ("both+kv256", True, True, 256),
-        ("both+kv128", True, True, 128),
+        ("off", False, False),
+        ("node_skip", True, False),
+        ("attn_skip", False, True),
+        ("both", True, True),
     ]
-    if args.bucket:
-        # bucketed capacities (T -> 128) leave < 2 K/V blocks, so the kv
-        # variants compile the identical program as `both` — drop them
-        # rather than print six rows of which two are relabeled noise.
-        # (The in-scan as2pl also routes to XLA for every variant once the
-        # sliced agent count drops under the S>=32 fused gate; the episode
-        # attentions still exercise the skip.)
-        variants = [v for v in variants if not v[0].startswith("both+kv")]
-        print("bucket mode: kv variants dropped (sliced T has <2 K/V blocks)")
 
     if args.check:
         ref = None
-        for name, ns, ak, kvb in variants:
-            cfg, model, params = make_cfg_params(ns, ak, kvb)
+        for name, ns, ak in variants:
+            cfg, model, params = make_cfg_params(ns, ak)
             # NOTE: trace happens inside this call, while the override is set
             preds, valid = jax.jit(make_eval_rollout(cfg, model))(
                 params, batch, jax.random.PRNGKey(1)
@@ -167,8 +159,8 @@ def main():
 
     results = {}
     key = jax.random.PRNGKey(1)
-    for name, ns, ak, kvb in variants:
-        cfg, model, params = make_cfg_params(ns, ak, kvb)
+    for name, ns, ak in variants:
+        cfg, model, params = make_cfg_params(ns, ak)
         rollout = make_eval_rollout(cfg, model)
         # D2H-sync methodology: reduce to one scalar read per iteration
         # (the only program this variant compiles/executes in timing mode)

@@ -13,7 +13,11 @@ forward; this measures where the gap lives before pulling levers:
   no_do_bf16   : both of the above
 
 Env: BENCH_N_SCENE (default 32), N_ITER (default 4), VARIANTS (comma list to
-run a subset, e.g. VARIANTS=base,save_attn).
+run a subset, e.g. VARIANTS=base,save_attn), FILL ('n_pl,n_agent' valid
+counts, e.g. FILL=768,40 for the WOMD-like fill — round-4 honesty rule:
+train numbers are quoted at this fill, not the sparse synthetic default).
+The TRAIN kernels' dead-row/block skips are import-time (TB_PAD_SKIP=0
+disables all of them) — A/B those across separate processes.
 """
 import sys as _sys, os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -60,7 +64,11 @@ def main():
     n_scene = int(os.environ.get("BENCH_N_SCENE", "32"))
     n_iter = int(os.environ.get("N_ITER", "4"))
     base_cfg = ExperimentConfig()
-    batch_np = synthetic_episode_batch(base_cfg.data, n_scene=n_scene, seed=0)
+    fill_kw = {}
+    if os.environ.get("FILL"):
+        n_pl, n_ag = (int(x) for x in os.environ["FILL"].split(","))
+        fill_kw = {"n_valid_pl": n_pl, "n_valid_agent": n_ag}
+    batch_np = synthetic_episode_batch(base_cfg.data, n_scene=n_scene, seed=0, **fill_kw)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     model, params = O.init_params(base_cfg, jax.random.PRNGKey(0), batch)
     key = jax.random.PRNGKey(1)
@@ -108,6 +116,18 @@ def main():
         "save_attn": lambda: time_step(
             dataclasses.replace(base_cfg, remat_policy="save_attn"), "save_attn"
         ),
+        "no_node_skip": lambda: time_step(
+            dataclasses.replace(
+                base_cfg,
+                model=dataclasses.replace(
+                    base_cfg.model,
+                    map_encoder=dataclasses.replace(
+                        base_cfg.model.map_encoder, fused_skip_invalid_blocks=False
+                    ),
+                ),
+            ),
+            "no_node_skip",
+        ),
         "no_dropout": lambda: time_step(nd, "no_dropout"),
         "no_dropout_fwd": lambda: time_step(nd, "no_dropout_fwd", forward_only=True),
         "bf16": lambda: time_step(dataclasses.replace(base_cfg, precision="bf16"), "bf16"),
@@ -115,7 +135,8 @@ def main():
     }
     sel = os.environ.get("VARIANTS")
     names = [n.strip() for n in sel.split(",")] if sel else list(variants)
-    out = {"n_scene": n_scene}
+    out = {"n_scene": n_scene, "fill": os.environ.get("FILL", "sparse_default"),
+           "pad_skip": os.environ.get("TB_PAD_SKIP", "1")}
     for name in names:
         out[name] = variants[name]()
     print(json.dumps(out))

@@ -345,12 +345,15 @@ class ModelConfig:
     # traffic), and the attention math accumulates in fp32 either way.
     # Training always keeps fp32 K/V (gradient precision parity).
     map_kv_bf16: bool = True
-    # >0: flash K/V-block path for the in-scan as2pl (T=1024 map targets):
-    # K/V blocks whose polylines are ALL padding skip compute AND their
-    # per-step HBM stream (real scenes fill a variable prefix of the fixed
-    # 1024 capacity). 0 = single-shot kernel (round-2 behavior) until the
-    # A/B on real hardware picks the winner (tools/ab_padding_skip.py).
-    as2pl_kv_block: int = 0
+    # fused-attention query-row blocking: -1 = round-2 whole-S blocks with
+    # the dead-row skip OFF (the default), 0 = auto ~8 skip-granular blocks
+    # with the skip ON, >0 = explicit rows per grid step (skip ON).
+    # Round-4 hardware A/B at WOMD-like fill (768/1024 polylines, 40/64
+    # agents valid): skip OFF 383.9 ms vs ON 538.7 ms — the finer grid's
+    # launch overhead swamps the skipped compute unless the batch is very
+    # sparse (at 12.5%-polyline fill the skip wins 394 vs 387 ms; set 0 for
+    # such data). See PERF.md round-4 fill-sensitivity table.
+    attn_row_block: int = -1
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96
     pose_pe_map: str = "pe_xy_yaw"

@@ -90,6 +90,9 @@ class LatentEncoder(nn.Module):
     transformer_as2tl: Optional[nn.Module] = None
     n_layer_tf_as2pl: int = 3
     n_layer_tf_as2tl: int = 3
+    # fused-attention query blocking for the big as2pl (see config.py
+    # attn_row_block): <0 = whole-S blocks, skip off (default)
+    attn_row_block: int = -1
     compute_dtype: Any = jnp.float32
 
     @property
@@ -188,10 +191,14 @@ class LatentEncoder(nn.Module):
             deterministic=deterministic,
             # fused: the XLA alternative materializes [B, H, S*A, n_pl]
             # logits that scale with batch (measured win at batch 128).
-            # row_block 16: live rows are strided with period n_agent (step-
-            # major flatten; real agents are a per-step prefix), so blocks
-            # must be finer than n_agent for the dead-row skip to fire
-            row_block=16 if (n_step * n_agent) % 16 == 0 else 0,
+            # when the dead-row skip is opted in (attn_row_block >= 0), live
+            # rows are strided with period n_agent (step-major flatten; real
+            # agents are a per-step prefix), so blocks must be finer than
+            # n_agent for the skip to fire -> force 16
+            row_block=(
+                self.attn_row_block if self.attn_row_block < 0
+                else (16 if (n_step * n_agent) % 16 == 0 else 0)
+            ),
         )
         x = x.reshape(n_scene, n_step, n_agent, d)
         # cross-attn to this step's traffic lights, per step

@@ -171,8 +171,10 @@ class Attention(nn.Module):
         return_kv: bool = False,
         allow_fused: bool = True,
         src_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = dead query row
-        row_block: int = 0,  # fused-kernel query rows per grid step (0 = auto)
-        kv_block: int = 0,  # >0: flash K/V-block path (padded targets skip DMA)
+        row_block: int = -1,  # fused-kernel query rows/grid step (-1 = whole-S
+        # blocks, dead-row skip OFF — the round-4 A/B winner at realistic
+        # fill; 0 = auto skip-granular blocks, skip ON; see config.py
+        # attn_row_block)
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """`tgt_kv` short-circuits the K/V projections with precomputed values
         — the rollout hot-loop optimization for step-invariant targets (the
@@ -276,7 +278,7 @@ class Attention(nn.Module):
             # dead rows (padding agents/polylines past the real prefix) come
             # out 0 instead of the reference's garbage-then-zeroed — the
             # caller zeroes them either way (ref transformer.py:236-239)
-            out = fused_attention_core(q_in, k, v, inv, src_padding_mask, self.n_head, row_block, kv_block)
+            out = fused_attention_core(q_in, k, v, inv, src_padding_mask, self.n_head, row_block)
             attn = None
         else:
             # a bf16 K/V cache is cast up AFTER the HBM load (XLA fuses the
@@ -383,8 +385,7 @@ class TransformerCrossAttention(nn.Module):
         allow_fused: bool = True,
         decoder_tgt: Optional[jnp.ndarray] = None,
         decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
-        row_block: int = 0,
-        kv_block: int = 0,
+        row_block: int = -1,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         act = _activation(self.activation)
         attn = Attention(
@@ -448,7 +449,7 @@ class TransformerCrossAttention(nn.Module):
             src2, tgt=tgt_n, tgt_padding_mask=tgt_padding_mask,
             attn_mask=attn_mask, need_weights=need_weights, deterministic=deterministic,
             tgt_kv=tgt_kv, allow_fused=allow_fused, src_padding_mask=src_padding_mask,
-            row_block=row_block, kv_block=kv_block,
+            row_block=row_block,
         )
 
         if self.d_feedforward > 0:
@@ -513,8 +514,7 @@ class TransformerBlock(nn.Module):
         allow_fused: bool = True,
         decoder_tgt: Optional[jnp.ndarray] = None,
         decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
-        row_block: int = 0,
-        kv_block: int = 0,
+        row_block: int = -1,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         layers = [
             TransformerCrossAttention(
@@ -539,7 +539,7 @@ class TransformerBlock(nn.Module):
                 allow_fused=allow_fused,
                 decoder_tgt=decoder_tgt,
                 decoder_tgt_padding_mask=decoder_tgt_padding_mask,
-                row_block=row_block, kv_block=kv_block,
+                row_block=row_block,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(epsilon=1e-5, name="out_ln")(src)

@@ -84,6 +84,7 @@ class TrafficBots(nn.Module):
             transformer_as2pl=self.transformer_as2pl if cfg.latent_encoder.shared_transformer_as else None,
             transformer_as2tl=self.transformer_as2tl if cfg.latent_encoder.shared_transformer_as else None,
             n_layer_tf_as2pl=cfg.n_layer_tf_as2pl, n_layer_tf_as2tl=cfg.n_layer_tf_as2tl,
+            attn_row_block=cfg.attn_row_block,
             compute_dtype=self.compute_dtype,
         )
         self.agent_temporal = StackedGRU(
@@ -257,7 +258,7 @@ class TrafficBots(nn.Module):
             tgt=None if map_kv is not None else map_feature,
             tgt_padding_mask=~map_valid, need_weights=need_weights,
             deterministic=deterministic, tgt_kv=map_kv,
-            kv_block=self.cfg.as2pl_kv_block,
+            row_block=self.cfg.attn_row_block,
         )
         x, attn_tl = self.transformer_as2tl(
             x, src_padding_mask=~agent_valid, tgt=tl_feature,

@@ -48,9 +48,6 @@ import os as _os
 _ROW_BLOCK_OVERRIDE = (
     int(_os.environ["TB_ATTN_ROW_BLOCK"]) if "TB_ATTN_ROW_BLOCK" in _os.environ else None
 )
-_KV_BLOCK_OVERRIDE = (
-    int(_os.environ["TB_ATTN_KV_BLOCK"]) if "TB_ATTN_KV_BLOCK" in _os.environ else None
-)
 
 
 def _attn_kernel(flag_ref, q_ref, k_ref, v_ref, inv_ref, o_ref, *, n_head: int, block_b: int):
@@ -104,126 +101,6 @@ def _attn_kernel(flag_ref, q_ref, k_ref, v_ref, inv_ref, o_ref, *, n_head: int, 
             o_ref[b] = (o * (1.0 - no_valid)).astype(o_ref.dtype)
 
 
-def _flash_kv_kernel(fetch_ref, used_ref, q_ref, k_ref, v_ref, inv_ref, o_ref,
-                     acc_ref, m_ref, l_ref, *, n_head: int, block_b: int):
-    """Flash-style accumulation over K/V blocks with dead-block skipping.
-
-    Grid (n_bgroups, n_kvblocks), kv innermost. `fetch_ref`/`used_ref` are
-    scalar-prefetched [n_bgroups, n_kvblocks]: unused steps (all targets in
-    the block masked for every query of the group) keep the previous block
-    index in the k/v/inv index_maps — Pallas re-fetches a block only when
-    its index CHANGES, so padded K/V never streams from HBM — and skip the
-    whole update. Running (m, l, acc) live in VMEM scratch across the
-    sequential kv steps; the output is finalized on the last step.
-
-    NaN-guard semantics: rows with no valid target anywhere end with l == 0
-    and finalize to 0 — the reference computes them mask-lifted and zeroes
-    the output (attention.py:101-107,144-146), so consumers see the same.
-
-    Exactness: within the gate `p = exp(s - m_new) * keep`, masked columns
-    contribute exactly 0 and blocks only reorder the fp32 summation (same
-    tolerance class as any softmax reassociation).
-    """
-    d_head = q_ref.shape[-1] // n_head
-    scale = 1.0 / math.sqrt(d_head)
-    j = pl.program_id(1)
-    NT = pl.num_programs(1)
-
-    @pl.when(j == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
-        m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
-        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
-
-    @pl.when(used_ref[pl.program_id(0), j] != 0)
-    def _update():
-        for b in range(block_b):
-            q = q_ref[b]
-            k = k_ref[b]
-            v = v_ref[b]
-            inv = inv_ref[b].astype(jnp.float32)  # [S, TB] 1.0 = masked
-            keep = 1.0 - inv
-            for h in range(n_head):
-                sl = slice(h * d_head, (h + 1) * d_head)
-                s = jax.lax.dot_general(
-                    q[:, sl], k[:, sl],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale + inv * jnp.float32(-1e30)
-                m_old = m_ref[b, :, h][:, None]  # [S, 1]
-                m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - m_new) * keep
-                alpha = jnp.exp(m_old - m_new)
-                l_ref[b, :, h] = (l_ref[b, :, h][:, None] * alpha
-                                  + jnp.sum(p, axis=-1, keepdims=True))[:, 0]
-                acc_ref[b, :, sl] = acc_ref[b, :, sl] * alpha + jnp.dot(
-                    p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
-                )
-                m_ref[b, :, h] = m_new[:, 0]
-
-    @pl.when(j == NT - 1)
-    def _finalize():
-        for b in range(block_b):
-            outs = []
-            for h in range(n_head):
-                sl = slice(h * d_head, (h + 1) * d_head)
-                l = l_ref[b, :, h][:, None]
-                outs.append(jnp.where(l > 0, acc_ref[b, :, sl] / jnp.maximum(l, 1e-30), 0.0))
-            o_ref[b] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-
-
-def _flash_forward(q, k, v, invalid, n_head: int, kv_block: int):
-    """Flash path entry: returns None when the shape does not qualify so the
-    caller falls back to the single-shot kernel."""
-    B, S, D = q.shape
-    T = k.shape[1]
-    TB = kv_block
-    if T % TB != 0 or T // TB < 2:
-        return None
-    NT = T // TB
-    interpret = jax.default_backend() != "tpu"
-    # VMEM per scene: q+out+acc [S, D] x3 fp32ish, k/v block, inv + scores,
-    # m/l [S, H] x2
-    per_scene = 3 * S * D * 4 + 2 * TB * D * k.dtype.itemsize + 2 * S * TB * 5 + 2 * S * n_head * 4
-    G = next((g for g in (4, 2, 1) if B % g == 0 and g * per_scene < 10 * 2**20), None)
-    if G is None:
-        return None
-
-    from .kernel_common import PAD_SKIP_ENABLED
-
-    if PAD_SKIP_ENABLED:
-        col_used = ~jnp.all(invalid, axis=1)  # [B, T] some query allows col t
-        used = jnp.any(col_used.reshape(B // G, G, NT, TB), axis=(1, 3))  # [Bg, NT]
-    else:
-        used = jnp.ones((B // G, NT), bool)
-    idx = jnp.where(used, jnp.arange(NT, dtype=jnp.int32)[None, :], -1)
-    fetch = jnp.maximum(jax.lax.cummax(idx, axis=1), 0).astype(jnp.int32)
-    used = used.astype(jnp.int32)
-
-    kernel = functools.partial(_flash_kv_kernel, n_head=n_head, block_b=G)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, S, D), q.dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(B // G, NT),
-            in_specs=[
-                pl.BlockSpec((G, S, D), lambda b, j, ft, us: (b, 0, 0)),
-                pl.BlockSpec((G, TB, D), lambda b, j, ft, us: (b, ft[b, j], 0)),
-                pl.BlockSpec((G, TB, D), lambda b, j, ft, us: (b, ft[b, j], 0)),
-                pl.BlockSpec((G, S, TB), lambda b, j, ft, us: (b, 0, ft[b, j])),
-            ],
-            out_specs=pl.BlockSpec((G, S, D), lambda b, j, ft, us: (b, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((G, S, D), jnp.float32),
-                pltpu.VMEM((G, S, n_head), jnp.float32),
-                pltpu.VMEM((G, S, n_head), jnp.float32),
-            ],
-        ),
-        interpret=interpret,
-    )(fetch, used, q, k, v, invalid.astype(jnp.int8))
-
-
 def _xla_reference(q, k, v, invalid, n_head: int):
     """Plain-XLA forward with identical semantics (also the VJP recompute
     path; mirrors models/modules.Attention)."""
@@ -242,9 +119,8 @@ def _xla_reference(q, k, v, invalid, n_head: int):
     return jnp.where(no_valid[..., None], 0.0, out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_attention_core(q, k, v, invalid, src_invalid, n_head: int, row_block: int = 0,
-                         kv_block: int = 0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention_core(q, k, v, invalid, src_invalid, n_head: int, row_block: int = -1):
     """Masked MHA core: (q [B,S,D], k [B,T,D], v [B,T,D], invalid [B,S,T])
     -> [B,S,D]. `invalid` True = disallowed target (padding and/or attn
     mask already combined). `src_invalid` [B,S] (optional) marks dead QUERY
@@ -252,12 +128,16 @@ def fused_attention_core(q, k, v, invalid, src_invalid, n_head: int, row_block: 
     output 0 — callers zero those rows downstream regardless (ref
     transformer.py:236-239), and their upstream grads are 0, so both values
     and gradients match the unskipped computation where they are consumed.
-    `row_block`: query rows per grid step (0 = auto ~8 skip-granular
-    blocks, -1 = round-2 A/B control: round-2 block choice with the skip
-    flags forced live). `kv_block` > 0 selects
-    the flash K/V-block path (_flash_forward): padded target blocks skip
-    compute AND their HBM stream."""
-    return _pallas_forward(q, k, v, invalid, src_invalid, n_head, row_block, kv_block)
+    `row_block`: query rows per grid step. -1 (DEFAULT) = round-2 whole-S
+    blocking with the dead-row skip OFF — the round-4 hardware A/B winner
+    at WOMD-like fill (PERF.md fill-sensitivity table: 383.9 ms vs 538.7
+    skip-on at 768/40); 0 = auto ~8 skip-granular blocks with the skip ON
+    (wins only on very sparse batches); >0 = explicit block size, skip ON.
+    (A flash K/V-block variant existed through round 3; it lost the
+    hardware A/B at every measured fill and its running-softmax
+    recombination is not bit-stable under the 91-step closed loop, so it
+    was removed — see PERF.md round 4.)"""
+    return _pallas_forward(q, k, v, invalid, src_invalid, n_head, row_block)
 
 
 def _pick_row_block(S: int, fits) -> Optional[int]:
@@ -278,19 +158,12 @@ def _pick_row_block(S: int, fits) -> Optional[int]:
     return max(fallback) if fallback else None
 
 
-def _pallas_forward(q, k, v, invalid, src_invalid, n_head: int, row_block: int = 0,
-                    kv_block: int = 0):
+def _pallas_forward(q, k, v, invalid, src_invalid, n_head: int, row_block: int = -1):
     B, S, D = q.shape
     T = k.shape[1]
     interpret = jax.default_backend() != "tpu"
     if _ROW_BLOCK_OVERRIDE is not None:  # measurement escape hatch (trace-time)
         row_block = _ROW_BLOCK_OVERRIDE
-    if _KV_BLOCK_OVERRIDE is not None:
-        kv_block = _KV_BLOCK_OVERRIDE
-    if kv_block > 0:
-        out = _flash_forward(q, k, v, invalid, n_head, kv_block)
-        if out is not None:
-            return out
     # VMEM budget per grid step (~16 MB scoped limit, leave headroom):
     # q+out (fp32-ish), k+v per scene, inv int8 + 2x fp32 scores per row
     kv_bytes = 2 * T * D * k.dtype.itemsize
@@ -298,7 +171,7 @@ def _pallas_forward(q, k, v, invalid, src_invalid, n_head: int, row_block: int =
     def fits_g(g, sb):
         return g * (sb * D * 8 + kv_bytes + sb * T * 9) < 12 * 2**20
 
-    skip_off = row_block < 0  # A/B control: round-2 blocking, flags forced live
+    skip_off = row_block < 0  # the default: round-2 blocking, no skip flags
     if row_block > 0 and S % row_block == 0 and fits_g(1, row_block):
         SB = row_block
     elif skip_off:
@@ -356,13 +229,12 @@ def _pallas_forward(q, k, v, invalid, src_invalid, n_head: int, row_block: int =
     )(flags, q, k, v, invalid.astype(jnp.int8))
 
 
-def _fwd(q, k, v, invalid, src_invalid, n_head: int, row_block: int = 0,
-         kv_block: int = 0):
-    out = _pallas_forward(q, k, v, invalid, src_invalid, n_head, row_block, kv_block)
+def _fwd(q, k, v, invalid, src_invalid, n_head: int, row_block: int = -1):
+    out = _pallas_forward(q, k, v, invalid, src_invalid, n_head, row_block)
     return out, (q, k, v, invalid, src_invalid)
 
 
-def _bwd(n_head: int, row_block: int, kv_block: int, res, g):
+def _bwd(n_head: int, row_block: int, res, g):
     q, k, v, invalid, src_invalid = res
     # the XLA recompute does not skip dead-src rows, but their upstream g is
     # 0 (callers zero those rows before any consumer), so grads agree
