@@ -96,7 +96,6 @@ def encode_episode_features(
     the batch). Training shares too (documented divergence, see below and
     docs/divergences.md): only the views' dropout draws would have differed.
     """
-    rngs = {"dropout": key} if (training and key is not None) else {}
     if share_map_encoding is None:
         # Training also shares by default: the three views always see the
         # IDENTICAL map tensors (only agent/tl views differ), so sharing
@@ -125,7 +124,7 @@ def encode_episode_features(
             )
     out = {}
     shared_map = None
-    for prefix in ("input", "latent_post", "latent_prior"):
+    for i, prefix in enumerate(("input", "latent_post", "latent_prior")):
         if f"{prefix}/agent_valid" not in batch:
             continue
         view = extract(batch, prefix)
@@ -133,6 +132,12 @@ def encode_episode_features(
             view["map_attr"] = map_attr_pair
         if share_map_encoding and shared_map is not None:
             view["map_feature"], view["map_feature_valid"] = shared_map
+        # fresh dropout draw per view (the reference calls each module anew,
+        # consuming torch's global RNG — same-shaped views never share masks)
+        rngs = (
+            {"dropout": jax.random.fold_in(key, i)}
+            if (training and key is not None) else {}
+        )
         out[prefix] = model.apply(
             {"params": params}, method="encode_input_features",
             deterministic=not training, rngs=rngs, **view,
@@ -379,14 +384,16 @@ def training_step(
             agent_state=batch["ref/agent_state"], **feats["input"],
         )
 
-    # latents
+    # latents — distinct dropout streams for posterior vs prior (the
+    # reference's two LatentEncoder calls each consume fresh torch RNG)
+    k_lat_post, k_lat_prior = jax.random.split(k_lat)
     latent_post = model.apply(
         {"params": params}, method="latent", posterior=True, deterministic=False,
-        rngs={"dropout": k_lat}, **feats["latent_post"],
+        rngs={"dropout": k_lat_post}, **feats["latent_post"],
     )
     latent_prior = model.apply(
         {"params": params}, method="latent", posterior=False, deterministic=False,
-        rngs={"dropout": k_lat}, **feats["latent_prior"],
+        rngs={"dropout": k_lat_prior}, **feats["latent_prior"],
     )
     use_prior = jax.random.uniform(k_coin, ()) < cfg.p_training_rollout_prior
     # branchless select between posterior/prior pytrees (ref waymo_motion.py:384-387)
