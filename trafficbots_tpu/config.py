@@ -575,3 +575,45 @@ def ablation(name: str, base: Optional[ExperimentConfig] = None) -> ExperimentCo
             ),
         )
     raise ValueError(f"unknown ablation {name}")
+
+
+# ---------------------------------------------------------------------------
+# Config persistence (ref save_hyperparameters, waymo_motion.py:63 + the
+# resume/model_overrides flow, ref run.py:40-44, configs/resume/submission.yaml)
+# ---------------------------------------------------------------------------
+
+
+def config_to_dict(cfg) -> Dict:
+    """Full config tree as plain (json-serializable) dicts/lists/scalars."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: Dict, cls=None):
+    """Rebuild a config dataclass tree from a json-loaded dict.
+
+    - nested dataclasses recurse (type taken from a default instance, which
+      also restores tuples that json round-tripped into lists);
+    - keys missing from the dict keep their defaults (forward compatible);
+    - unknown keys raise: a typo'd or stale snapshot must not silently run a
+      different experiment than it claims.
+    """
+    if cls is None:
+        cls = ExperimentConfig
+    ref = cls()
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for name in names:
+        if name not in d:
+            continue
+        v = d[name]
+        cur = getattr(ref, name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[name] = config_from_dict(v, type(cur))
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            kwargs[name] = tuple(v)
+        else:
+            kwargs[name] = v
+    return cls(**kwargs)

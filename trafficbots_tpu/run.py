@@ -54,8 +54,47 @@ def apply_override(cfg, dotted: str, val: str):
     return dataclasses.replace(cfg, **{parts[0]: new_sub})
 
 
+def _find_config_snapshot(run_dir: Optional[str], resume: Optional[str]) -> Optional[str]:
+    """Locate the config.json written at fit time (see `snapshot_config`).
+
+    Candidates: the run_dir itself, and — for an explicit checkpoint path
+    like `resume=runs/x/ckpt/last` — the checkpoint's parent directories.
+    """
+    cands = []
+    if run_dir:
+        cands.append(os.path.join(run_dir, "config.json"))
+    if resume and resume not in ("1", "true", "True", "yes", "best", "last"):
+        d = os.path.dirname(os.path.abspath(resume))
+        cands += [os.path.join(d, "config.json"),
+                  os.path.join(os.path.dirname(d), "config.json")]
+    for p in cands:
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def snapshot_config(cfg, run_dir: str):
+    """Persist the resolved experiment config into the run directory — the
+    analog of the reference's checkpoint-embedded hyperparameters
+    (save_hyperparameters, ref waymo_motion.py:63): `action=validate
+    resume=best run_dir=X` later reproduces the training config with zero
+    re-typed flags, with CLI overrides applied on top (the reference's
+    `model_overrides` submission flow, ref run.py:40-44)."""
+    import json
+
+    from .config import config_to_dict
+
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, "config.json")
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+    return path
+
+
 def parse_args(argv: List[str]):
-    from .config import ExperimentConfig, ablation
+    import json
+
+    from .config import ExperimentConfig, ablation, config_from_dict
 
     action = "fit"
     run_dir = None
@@ -64,16 +103,33 @@ def parse_args(argv: List[str]):
     n_epochs = 1
     steps_per_epoch = None  # default: loader length (real data) or 100 (synthetic)
     val_batches = -1
-    cfg = ExperimentConfig()
     overrides = []
+    ablations = []
+    # pre-scan for run_dir/resume so a config snapshot (written at fit time)
+    # can serve as the BASE config, with CLI overrides applied on top
     for arg in argv:
         if "=" not in arg:
             raise SystemExit(f"expected key=value, got {arg}")
+        k, v = arg.split("=", 1)
+        if k == "run_dir":
+            run_dir = v
+        elif k == "resume":
+            resume = v
+    cfg = ExperimentConfig()
+    loaded_from = None
+    if resume:
+        snap = _find_config_snapshot(run_dir, resume)
+        if snap is not None:
+            with open(snap) as f:
+                cfg = config_from_dict(json.load(f))
+            loaded_from = snap
+    for arg in argv:
         k, v = arg.split("=", 1)
         if k == "action":
             action = v
         elif k == "ablation":
             cfg = ablation(v, cfg)
+            ablations.append(v)
         elif k == "run_dir":
             run_dir = v
         elif k == "resume":
@@ -100,6 +156,10 @@ def parse_args(argv: List[str]):
         cfg = apply_override(cfg, k, v)
     if run_dir is None:
         run_dir = os.path.join("runs", time.strftime("%Y%m%d_%H%M%S"))
+    if loaded_from is not None:
+        n_over = len(overrides) + len(ablations)
+        print(f"config loaded from snapshot {loaded_from}"
+              + (f" (+{n_over} CLI overrides on top)" if n_over else ""))
     return action, cfg, run_dir, resume, synthetic, n_epochs, steps_per_epoch, val_batches
 
 
@@ -261,6 +321,8 @@ def main(argv: Optional[List[str]] = None):
         print(f"model initialized: {n_params/1e6:.2f}M params, run_dir={run_dir}")
 
     if action == "fit":
+        if is_main:
+            snapshot_config(cfg, run_dir)
         mesh = make_mesh()
         tx = make_optimizer(cfg, params, steps_per_epoch)
         opt_state = tx.init(params)
