@@ -60,13 +60,45 @@ def mtr_nms(trajs, scores, k_pred, type_thresh, use_ade, agent_type):
     return trajs_k, scores_k / jnp.sum(scores_k, axis=-1, keepdims=True)
 
 
+def _split_largest_into_empty(assign: jnp.ndarray, k_pred: int) -> jnp.ndarray:
+    """Exact empty-cluster reassignment (ref waymo_post_processing.py:270-284):
+    for every cluster that came out of the E-step EMPTY, move the FIRST
+    floor(n/2) members (pred-index ascending, `[: counter_n // 2]`) of the
+    currently-LARGEST cluster (first-max on ties, `.max(0)`) into it.
+
+    The reference's `torch.where(assignment.sum(2) == 0)` iterates the
+    originally-empty clusters in (scene, agent, k) row-major order while
+    `assignment` mutates. Different (scene, agent) cells never interact, so
+    a k-ascending unrolled loop that applies all cells at once is exactly
+    that order; splits can neither empty another cluster (the source keeps
+    ceil(n/2) >= 1 members) nor fill a later empty one (members move only
+    into the specific empty k), so the originally-empty set needs no
+    recomputation.
+    """
+    empty0 = jnp.sum(assign, axis=2) == 0  # [S, A, K] pre-split emptiness
+    for k in range(k_pred):
+        counts = jnp.sum(assign, axis=2)  # [S, A, K]
+        max_i = jnp.argmax(counts, axis=-1)  # [S, A] first max, like torch .max(0)
+        n_max = jnp.take_along_axis(counts, max_i[:, :, None], axis=2)  # [S, A, 1]
+        member = jnp.take_along_axis(assign, max_i[:, :, None, None], axis=3)[..., 0]  # [S, A, P]
+        rank = jnp.cumsum(member, axis=-1)  # 1-based rank among members
+        split = (member > 0) & (rank <= jnp.floor(n_max / 2.0))
+        do = (empty0[:, :, k][:, :, None] & split)[..., None].astype(assign.dtype)
+        one_k = jax.nn.one_hot(jnp.full(max_i.shape, k), k_pred, dtype=assign.dtype)
+        one_max = jax.nn.one_hot(max_i, k_pred, dtype=assign.dtype)
+        assign = assign + do * (one_k - one_max)[:, :, None, :]
+    return assign
+
+
 def traj_aggr(trajs, scores, k_pred, thresh, n_iter_em, use_ade):
     """Greedy seeding + k-means EM over modes. Ref waymo_post_processing.py:193-295.
 
-    The reference reassigns empty clusters by splitting the largest via a
-    Python loop over `torch.where` results; here empty clusters keep their
-    previous centroid (a benign simplification for K>=n_pred coverage — with
-    the default config this path is off; documented divergence).
+    Empty clusters are refilled by splitting the largest cluster exactly as
+    the reference does (_split_largest_into_empty). The only remaining
+    divergence is the degenerate can't-split case (largest cluster has one
+    member, floor(1/2)=0 moves): the reference divides the still-empty
+    cluster's sums by zero and emits inf/NaN; here it keeps its previous
+    centroid (the safe-divide guard below).
     """
     n_pred = scores.shape[-1]
     within = _pairwise_dist(trajs[..., :2], use_ade) < jnp.asarray(thresh[0], jnp.float32)
@@ -95,6 +127,7 @@ def traj_aggr(trajs, scores, k_pred, thresh, n_iter_em, use_ade):
                 xy_k[:, :, None, :, -1] - xy[:, :, :, None, -1], axis=-1
             )
         assign = jax.nn.one_hot(jnp.argmin(dist, axis=-1), k_pred)  # [S, A, P, K]
+        assign = _split_largest_into_empty(assign, k_pred)
         n_members = jnp.sum(assign, axis=2)  # [S, A, K]
         safe = jnp.maximum(n_members, 1.0)
         new_trajs_k = (
