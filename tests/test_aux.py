@@ -102,3 +102,51 @@ def test_cli_override_parsing():
     assert cfg.post_processing.mtr_nms_thresh == (2.5, 3.5, 4.5)
     cfg = apply_override(cfg, "optimizer.lr", "1e-4")
     assert cfg.optimizer.lr == 1e-4
+
+
+def test_metrics_logger_sink_hook(tmp_path, monkeypatch):
+    """TB_METRICS_HOOK plugs an external sink (the reference's wandb-logger
+    analog, configs/loggers/wandb.yaml): every record reaches the callable;
+    a raising sink warns once and disables itself without killing logging."""
+    import json
+    import sys
+    import types
+    import warnings
+
+    from trafficbots_tpu.utils.logging import MetricsLogger
+
+    calls = []
+    mod = types.ModuleType("_fake_sink_mod")
+    mod.log_metrics = calls.append
+    monkeypatch.setitem(sys.modules, "_fake_sink_mod", mod)
+    monkeypatch.setenv("TB_METRICS_HOOK", "_fake_sink_mod:log_metrics")
+
+    lg = MetricsLogger(str(tmp_path / "run"))
+    lg.log({"loss": 1.5, "skip_me": "not-a-float"}, step=3)
+    assert len(calls) == 1
+    assert calls[0]["loss"] == 1.5 and calls[0]["step"] == 3
+    assert "skip_me" not in calls[0]
+
+    # default callable name resolves too
+    monkeypatch.setenv("TB_METRICS_HOOK", "_fake_sink_mod")
+    lg2 = MetricsLogger(str(tmp_path / "run2"))
+    lg2.log({"x": 1.0}, step=0)
+    assert len(calls) == 2
+
+    # a failing sink disables itself; jsonl keeps flowing
+    def boom(rec):
+        raise RuntimeError("sink down")
+
+    lg3 = MetricsLogger(str(tmp_path / "run3"), sink=boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lg3.log({"a": 1.0}, step=1)
+        lg3.log({"a": 2.0}, step=2)
+    assert any("metrics sink failed" in str(x.message) for x in w)
+    assert lg3.sink is None
+    recs = [json.loads(l) for l in open(lg3.path)]
+    assert [r["a"] for r in recs] == [1.0, 2.0]
+
+    # unset env -> no sink
+    monkeypatch.delenv("TB_METRICS_HOOK")
+    assert MetricsLogger(str(tmp_path / "run4")).sink is None

@@ -66,6 +66,12 @@ def test_loss_and_replay_error_decrease():
         p, o, m = step(p, o, batch, jax.random.fold_in(key, i))
         losses.append(float(m["loss"]))
 
+    # per-module grad-norm breakdown (the reference's track_grad_norm /
+    # WatchModel analog): one finite norm per top-level param subtree
+    subtree_norms = {k: float(v) for k, v in m.items() if k.startswith("grad_norm/")}
+    assert set(subtree_norms) == {f"grad_norm/{k}" for k in p}
+    assert all(np.isfinite(v) for v in subtree_norms.values())
+
     first = float(np.mean(losses[:3]))
     last = float(np.mean(losses[-3:]))
     assert np.isfinite(losses).all(), f"non-finite loss in {losses}"

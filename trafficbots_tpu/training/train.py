@@ -91,6 +91,14 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        # per-module breakdown (the reference's track_grad_norm=2 +
+        # WatchModel wandb histograms, configs/trainer/default.yaml:13 /
+        # callbacks/wandb_callbacks.py:76-85): one norm per top-level param
+        # subtree (map_encoder / latent_encoder / goal_manager / as2pl /
+        # action head / ...) — computed from the already-reduced grads
+        # pytree, so the extra cost is a handful of scalar reductions.
+        for name, sub in grads.items():
+            metrics[f"grad_norm/{name}"] = optax.global_norm(sub)
         return new_params, new_opt_state, metrics
 
     return step

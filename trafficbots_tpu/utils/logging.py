@@ -14,11 +14,31 @@ import time
 from typing import Any, Dict, Optional
 
 
+def _load_metrics_hook():
+    """Resolve the optional external metrics sink from TB_METRICS_HOOK.
+
+    Format "pkg.module:callable" (callable defaults to `log_metrics`). The
+    callable receives each record dict (step/phase/time + float metrics) —
+    the pluggable analog of the reference's wandb logger
+    (configs/loggers/wandb.yaml): point it at a wandb/TensorBoard/DB adapter
+    without the framework depending on any of them. No-op when unset.
+    """
+    spec = os.environ.get("TB_METRICS_HOOK")
+    if not spec:
+        return None
+    import importlib
+
+    mod, _, fn = spec.partition(":")
+    return getattr(importlib.import_module(mod), fn or "log_metrics")
+
+
 class MetricsLogger:
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, sink=None):
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
         self.path = os.path.join(self.run_dir, "metrics.jsonl")
+        # `sink` (programmatic) wins over the TB_METRICS_HOOK env adapter
+        self.sink = sink if sink is not None else _load_metrics_hook()
 
     def log(self, metrics: Dict[str, Any], step: int, phase: str = "train"):
         rec = {"step": step, "phase": phase, "time": time.time()}
@@ -29,6 +49,14 @@ class MetricsLogger:
                 continue
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.sink is not None:
+            try:
+                self.sink(rec)
+            except Exception as e:  # a sink failure must not kill training
+                import warnings
+
+                warnings.warn(f"metrics sink failed ({e!r}); disabling it")
+                self.sink = None
 
 
 class Profiler:
