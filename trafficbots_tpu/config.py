@@ -100,9 +100,11 @@ class MapEncoderConfig:
     # (16 measured ~8% faster than 8 at batch 128: fewer grid steps beat the
     # extra block-diagonal score redundancy)
     fused_block_pl: int = 16
-    # independent block_pl-sized sub-blocks per grid step: disjoint
-    # dependency chains let the scheduler overlap one sub-block's VPU
-    # phases with another's matmuls (the kernel is chain-latency-bound)
+    # block_pl-sized sub-blocks per grid step whose LN/projection/FFN
+    # matmuls run as ONE wide matmul over the concatenated rows (fewer,
+    # bigger grid steps — the kernel is chain-latency-bound) while the
+    # score phase stays per-sub so block-diagonal redundancy doesn't grow;
+    # bit-identical at any value
     fused_pipeline_blocks: int = 1
     # training path: custom-VJP fused kernels with in-kernel dropout
     # (ops/node_encoder_train.py) instead of the XLA stack + autodiff
@@ -427,8 +429,10 @@ class ExperimentConfig:
     # output ([B, A, d] per layer per step — ~1 MB/step at batch 32), so the
     # remat re-forward skips the attention kernels whose custom VJP already
     # recomputes logits in-VMEM during the backward (avoiding the double
-    # recompute). Gradients are identical either way.
-    remat_policy: str = "none"  # none | save_attn
+    # recompute). Gradients are identical either way. Default save_attn:
+    # 673 vs 692 ms at the WOMD-like-fill batch-32 train step (PERF.md
+    # round-4 train table) for ~90 MB of residuals.
+    remat_policy: str = "save_attn"  # none | save_attn
 
 
 # ---------------------------------------------------------------------------
