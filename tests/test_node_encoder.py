@@ -79,8 +79,9 @@ def test_kernel_skips_fully_invalid_blocks():
 
 
 def test_pipelined_kernel_matches_single_block():
-    """pipeline_blocks=2 (two independent sub-chains per grid step) must be
-    bit-identical to the single-block kernel."""
+    """pipeline_blocks=2 (two sub-blocks per grid step sharing wide
+    LN/projection/FFN matmuls) must be bit-identical to the single-block
+    kernel — row count cannot change per-element MXU accumulation order."""
     x, valid = _data(seed=5)
     f1 = FusedNodeEncoder(d_model=D, n_head=H, n_layer=L, d_feedforward=F,
                           dropout_p=0.0, pipeline_blocks=1)

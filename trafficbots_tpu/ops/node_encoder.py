@@ -61,13 +61,15 @@ class FusedNodeEncoder(nn.Module):
     # encoder is matmul-bound. Costs ~3 decimal digits on the node features;
     # quality metrics are insensitive (see PERF.md A/B).
     matmul_bf16: bool = False
-    # process this many INDEPENDENT block_pl-sized sub-blocks per grid step:
-    # each sub-block keeps its own [R, R] score matrix (no block-diagonal
-    # redundancy growth, unlike raising block_pl) but their dependency
-    # chains are disjoint, letting the Mosaic scheduler overlap one
-    # sub-block's VPU phases (layernorm/softmax) with the other's MXU
-    # matmuls — the kernel is latency-bound on its serial per-layer chain,
-    # not MXU rate (bf16 moved it only ~8%).
+    # process this many block_pl-sized sub-blocks per grid step with SHARED
+    # projection/LN/FFN matmuls: the dense ops run once over the whole
+    # [n_sub*blk*N, D] row block (bigger matmuls, fewer grid steps, shorter
+    # total dependency chain) while the attention score phase stays chunked
+    # per sub-block so the block-diagonal [R, R] score redundancy does not
+    # grow. Row count does not change per-element MXU accumulation order,
+    # so any n_sub is bit-identical to n_sub=1. (The earlier interleaved
+    # emission that kept per-sub matmuls separate and only reordered them
+    # LOST the A/B — Mosaic would not overlap the disjoint chains.)
     pipeline_blocks: int = 1
     # skip the whole 3-layer compute chain for grid steps whose polylines
     # are ALL padding (scalar-prefetched per-block any-valid flag + pl.when).
@@ -265,12 +267,13 @@ class FusedNodeEncoder(nn.Module):
             pl.BlockSpec(w.shape, lambda b, f, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
             for w in weights
         ]
-        from .kernel_common import PAD_SKIP_ENABLED
+        from .kernel_common import COMPILER_PARAMS, PAD_SKIP_ENABLED
 
         if self.skip_invalid_blocks and PAD_SKIP_ENABLED:
             flags = jnp.any(valid.reshape(grid, -1), axis=-1).astype(jnp.int32)
         else:
             flags = jnp.ones((grid,), jnp.int32)
+        interpret = jax.default_backend() != "tpu"
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((BP, D), jnp.float32),
@@ -283,7 +286,11 @@ class FusedNodeEncoder(nn.Module):
                 ] + w_specs,
                 out_specs=pl.BlockSpec((STEP, D), lambda b, f: (b, 0)),
             ),
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
+            # n_sub > 1 widens the live working set past the default 16 MB
+            # scoped-VMEM stack limit (v5e has 128 MB VMEM); interpret mode
+            # rejects the kwarg
+            **({} if interpret else COMPILER_PARAMS),
         )(
             flags,
             x.astype(jnp.float32),
@@ -359,12 +366,12 @@ def _node_kernel(
     *, n_layer: int, n_head: int, n_node: int, blk: int, bf16: bool = False,
     n_sub: int = 1,
 ):
-    """`n_sub` > 1 runs that many independent blk-sized sub-blocks per grid
-    step. Their per-layer chains share no data, so the scheduler can overlap
-    one sub-block's VPU work (layernorm/softmax) with another's MXU matmuls
-    — attacking the serial dependency chain this kernel is bound by. The
-    emission below interleaves the subs PHASE BY PHASE (all subs' q/k/v,
-    then all subs' scores, ...) to hand the scheduler ready-to-overlap ops.
+    """`n_sub` > 1 widens one grid step to n_sub blk-sized sub-blocks whose
+    layernorms, q/k/v/out projections and FFN run as SINGLE matmuls over the
+    concatenated [n_sub*blk*n_node, D] rows — 4x fewer grid steps and 4x
+    bigger dense ops attack the serial per-grid dependency chain this kernel
+    is bound by — while the score/softmax/AV phase stays chunked per
+    sub-block so the block-diagonal score redundancy does not grow.
 
     `flag_ref` is a scalar-prefetched [grid] any-valid flag: grid steps whose
     polylines are all padding write the pool identity (_NEG, bit-exact with
@@ -403,20 +410,21 @@ def _node_kernel_body(
     def mm(a, b):
         return jnp.dot(a.astype(mm_t), b.astype(mm_t), preferred_element_type=jnp.float32)
 
+    R_all = n_sub * R
     ones = jnp.ones((R, 1), jnp.float32)
     # static block-diagonal (same-polyline) mask, shared by all sub-blocks
     row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     same = ((row // n_node) == (col // n_node)).astype(jnp.float32)
 
-    xs, vfs, nvs, masks = [], [], [], []
+    x = x_ref[:].reshape(R_all, D)
+    vf = v_ref[:].reshape(R_all, 1)  # 1.0 = valid node
+    nvs, masks = [], []
     for s in range(n_sub):
-        rows_sl = slice(s * blk, (s + 1) * blk)
-        x = x_ref[rows_sl].reshape(R, D)
-        vf = v_ref[rows_sl].reshape(R, 1)  # 1.0 = valid node
+        vf_s = vf[s * R : (s + 1) * R]
         # column validity via outer product (avoids transposes/relayouts)
         colv = jax.lax.dot_general(
-            ones, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            ones, vf_s, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, R] = v[j]
         allowed = same * colv
@@ -425,53 +433,51 @@ def _node_kernel_body(
             preferred_element_type=jnp.float32,
         )  # [R, 1] count of attendable targets
         nv = 1.0 - jnp.minimum(row_has, 1.0)  # [R, 1] 1.0 = NaN-guard row
-        xs.append(x)
-        vfs.append(vf)
         nvs.append(nv)
         masks.append((1.0 - allowed) * (1.0 - nv))  # lifted for guard rows
+    nv_all = nvs[0] if n_sub == 1 else jnp.concatenate(nvs, axis=0)
 
-    x0s = list(xs)  # k/v target fixed at layer-0 features (TransformerBlock)
+    x0 = x  # k/v target fixed at layer-0 features (TransformerBlock)
     for l in range(n_layer):
-        qs, ks, vs = [], [], []
-        for s in range(n_sub):
-            src2 = _ln(xs[s], ln1_s[l], ln1_b[l])
-            tgtn = _ln(x0s[s], lnt_s[l], lnt_b[l])
-            qs.append(mm(src2, wq[l]) + bq[l])
-            ks.append(mm(tgtn, wk[l]) + bk[l])
-            vs.append(mm(tgtn, wv[l]) + bv[l])
+        src2 = _ln(x, ln1_s[l], ln1_b[l])
+        tgtn = _ln(x0, lnt_s[l], lnt_b[l])
+        q = mm(src2, wq[l]) + bq[l]
+        k = mm(tgtn, wk[l]) + bk[l]
+        v = mm(tgtn, wv[l]) + bv[l]
         atts = []
         for s in range(n_sub):
+            rows = slice(s * R, (s + 1) * R)
             heads = []
             for h in range(n_head):
                 sl = slice(h * d_head, (h + 1) * d_head)
                 logits = jax.lax.dot_general(
-                    qs[s][:, sl].astype(mm_t), ks[s][:, sl].astype(mm_t),
+                    q[rows, sl].astype(mm_t), k[rows, sl].astype(mm_t),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 logits = logits * scale + masks[s] * _NEG
                 attn = jax.nn.softmax(logits, axis=-1)
-                heads.append(mm(attn, vs[s][:, sl]))
+                heads.append(mm(attn, v[rows, sl]))
             atts.append(jnp.concatenate(heads, axis=-1))
-        for s in range(n_sub):
-            a = mm(atts[s], wo[l]) + bo[l]
-            a = a * (1.0 - nvs[s])
-            x = xs[s] + a
-            src2 = _ln(x, ln2_s[l], ln2_b[l])
-            f = jnp.maximum(mm(src2, w1[l]) + b1[l], 0.0)
-            f = mm(f, w2[l]) + b2[l]
-            x = x + f
-            xs[s] = x * vfs[s]  # zero invalid rows (per-layer masking of the reference)
+        a = atts[0] if n_sub == 1 else jnp.concatenate(atts, axis=0)
+        a = mm(a, wo[l]) + bo[l]
+        a = a * (1.0 - nv_all)
+        x = x + a
+        src2 = _ln(x, ln2_s[l], ln2_b[l])
+        f = jnp.maximum(mm(src2, w1[l]) + b1[l], 0.0)
+        f = mm(f, w2[l]) + b2[l]
+        x = x + f
+        x = x * vf  # zero invalid rows (per-layer masking of the reference)
 
     # masked max-pool over each polyline's nodes
-    outs = []
-    for s in range(n_sub):
-        x = xs[s] + (1.0 - vfs[s]) * _NEG
-        outs.extend(
+    x = x + (1.0 - vf) * _NEG
+    o_ref[:] = jnp.concatenate(
+        [
             jnp.max(x[i * n_node : (i + 1) * n_node, :], axis=0, keepdims=True)
-            for i in range(blk)
-        )
-    o_ref[:] = jnp.concatenate(outs, axis=0)
+            for i in range(blk * n_sub)
+        ],
+        axis=0,
+    )
 
 
 def stack_params_from_transformer_block(tb_params: dict, n_layer: int) -> dict:
