@@ -21,10 +21,17 @@ def main():
 
     out = {}
     checksum0 = None
-    for sub in (1, 2, 4, 8):
+    # (block_pl, n_sub): same STEP=blk*sub means same grid count and same
+    # wide-matmul width; smaller blk within it shrinks the [blk*20, blk*20]
+    # block-diagonal score redundancy (the one remaining FLOP lever)
+    pairs = [(16, 1), (8, 2), (8, 4), (8, 8)]  # blk must be a multiple of 8
+    if _os.environ.get("AB_PAIRS"):
+        pairs = [tuple(int(v) for v in p.split("x"))
+                 for p in _os.environ["AB_PAIRS"].split(",")]
+    for blk, sub in pairs:
         enc = FusedNodeEncoder(
             d_model=D, n_head=4, n_layer=3, d_feedforward=128,
-            dropout_p=0.1, block_pl=16, pipeline_blocks=sub,
+            dropout_p=0.1, block_pl=blk, pipeline_blocks=sub,
         )
         params = enc.init(jax.random.PRNGKey(0), x[:64], valid[:64])
 
@@ -44,7 +51,7 @@ def main():
             got = float(f(x, valid))
             ts.append(time.perf_counter() - t0)
         assert got == ref, (got, ref)
-        out[f"sub{sub}_ms"] = round(sorted(ts)[len(ts) // 2] * 1e3, 2)
+        out[f"blk{blk}_sub{sub}_ms"] = round(sorted(ts)[len(ts) // 2] * 1e3, 2)
         print(json.dumps(out), flush=True)
 
 

@@ -44,7 +44,11 @@ def main():
     n_scene = int(os.environ.get("BENCH_N_SCENE", "32"))
     n_iter = int(os.environ.get("N_ITER", "3"))
     cfg = ExperimentConfig()
-    batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0)
+    fill_kw = {}
+    if os.environ.get("FILL"):
+        n_pl, n_ag = (int(x) for x in os.environ["FILL"].split(","))
+        fill_kw = {"n_valid_pl": n_pl, "n_valid_agent": n_ag}
+    batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0, **fill_kw)
     batch0 = {k: jnp.asarray(v) for k, v in batch_np.items()}
     model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch0)
     key = jax.random.PRNGKey(1)

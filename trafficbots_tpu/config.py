@@ -96,16 +96,19 @@ class MapEncoderConfig:
     n_layer: int = 3
     mlp_dropout_p: float = 0.1
     mlp_use_layernorm: bool = False
-    # polylines per program in the fused node-encoder Pallas kernel
-    # (16 measured ~8% faster than 8 at batch 128: fewer grid steps beat the
-    # extra block-diagonal score redundancy)
-    fused_block_pl: int = 16
+    # polylines per score-phase block in the fused node-encoder Pallas
+    # kernel; with pipeline_blocks, (8, 2) is the round-4 hardware winner:
+    # same grid count and wide-matmul width as the old (16, 1) default but
+    # HALF the block-diagonal score redundancy (2x[160,160] score matrices
+    # instead of [320,320]) — eval kernel 122.3 vs 137.8 ms at batch 128,
+    # train step neutral (668.8 vs 672.2 ms); bit-identical outputs
+    fused_block_pl: int = 8
     # block_pl-sized sub-blocks per grid step whose LN/projection/FFN
-    # matmuls run as ONE wide matmul over the concatenated rows (fewer,
-    # bigger grid steps — the kernel is chain-latency-bound) while the
+    # matmuls run as ONE wide matmul over the concatenated rows while the
     # score phase stays per-sub so block-diagonal redundancy doesn't grow;
-    # bit-identical at any value
-    fused_pipeline_blocks: int = 1
+    # bit-identical at any value (the eval kernel only; the train kernel
+    # pair keys off block_pl alone)
+    fused_pipeline_blocks: int = 2
     # training path: custom-VJP fused kernels with in-kernel dropout
     # (ops/node_encoder_train.py) instead of the XLA stack + autodiff
     fused_train_kernel: bool = True
