@@ -10,15 +10,25 @@ must run before any backend is initialized.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+# TB_TEST_TPU=1 leaves the real TPU backend in place so the TPU-gated
+# kernel tests (tests/test_attention_train.py, test_node_encoder_train.py:
+# in-kernel TPU-PRNG dropout, Mosaic-only behavior) can run on hardware.
+# Only run the kernel test files in this mode — everything needing the
+# 8-device mesh will fail on a 1-chip backend by design.
+_TPU_MODE = os.environ.get("TB_TEST_TPU") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
-assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
+if not _TPU_MODE:
+    assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
+    assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
