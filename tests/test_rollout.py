@@ -132,12 +132,16 @@ def test_remat_policy_grad_equivalence(setup):
         return jax.jit(jax.grad(loss_fn))(params)
 
     g_none = grads_for(cfg)
-    g_attn = grads_for(dataclasses.replace(cfg, remat_policy="save_attn"))
-    # tolerance: the policies compile different backward programs, so fp32
-    # fusion/summation order differs (measured max |delta| ~2e-7); anything
-    # beyond that is a real math divergence
-    for a, b in zip(jax.tree.leaves(g_none), jax.tree.leaves(g_attn)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-6)
+    for policy in ("save_attn", "save_core"):
+        g_pol = grads_for(dataclasses.replace(cfg, remat_policy=policy))
+        # tolerance: the policies compile different backward programs, so fp32
+        # fusion/summation order differs (measured max |delta| ~2e-7); anything
+        # beyond that is a real math divergence
+        for a, b in zip(jax.tree.leaves(g_none), jax.tree.leaves(g_pol)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-6,
+                err_msg=policy,
+            )
 
 
 def test_joint_future_pred(setup):

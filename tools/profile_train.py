@@ -116,6 +116,12 @@ def main():
         "save_attn": lambda: time_step(
             dataclasses.replace(base_cfg, remat_policy="save_attn"), "save_attn"
         ),
+        "save_core": lambda: time_step(
+            dataclasses.replace(base_cfg, remat_policy="save_core"), "save_core"
+        ),
+        "remat_none_policy": lambda: time_step(
+            dataclasses.replace(base_cfg, remat_policy="none"), "remat_none_policy"
+        ),
         "no_node_skip": lambda: time_step(
             dataclasses.replace(
                 base_cfg,

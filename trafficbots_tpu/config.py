@@ -434,8 +434,9 @@ class ExperimentConfig:
     # recomputes logits in-VMEM during the backward (avoiding the double
     # recompute). Gradients are identical either way. Default save_attn:
     # 673 vs 692 ms at the WOMD-like-fill batch-32 train step (PERF.md
-    # round-4 train table) for ~90 MB of residuals.
-    remat_policy: str = "save_attn"  # none | save_attn
+    # round-4 train table) for ~90 MB of residuals. "save_core" also saves
+    # the per-step featurization, GRU output and action-head input.
+    remat_policy: str = "save_attn"  # none | save_attn | save_core
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import DataConfig, ExperimentConfig, ModelConfig, ActionHeadConfig
 from .goal_manager import GoalManager
@@ -293,12 +294,18 @@ class TrafficBots(nn.Module):
                 x, agent_feature, agent_valid, need_weights=need_weights,
                 deterministic=deterministic, allow_fused=self.cfg.fused_attention_small_t,
             )
+        # remat tag: under remat_policy="save_core" the scan saves the
+        # temporal/interaction output so the backward re-forward skips the
+        # GRU stack (its gate chain is recompute-heavy relative to its size)
+        x = checkpoint_name(x, "gru_core")
 
         if not cfg.add_goal_latent_first:
             x = add_goal_latent(x)
 
         if self.final_mlp is not None:
             x = self.final_mlp(x, agent_valid, deterministic=deterministic)
+        # remat tag (save_core): the action-head input feature
+        x = checkpoint_name(x, "policy_feat")
 
         action_mean, action_log_std = self.action_head(
             x, agent_valid, agent_type, deterministic=deterministic

@@ -233,6 +233,48 @@ def reactive_replay(
     )
 
 
+def interactive_replay(
+    cfg: ExperimentConfig,
+    model: TrafficBots,
+    params,
+    batch: Batch,
+    features: Dict[str, jnp.ndarray],
+    latent_dist,
+    goal,
+    goal_valid,
+    mask_teacher_forcing,
+    key: jax.Array,
+    deterministic_latent,
+    deterministic_action: bool,
+):
+    """Step-at-a-time variant of `reactive_replay`: same inputs, returns an
+    `InteractiveSim` whose `.step()` can inject per-step overrides
+    (sim-as-a-service / what-if intervention; see sim/interactive.py).
+    `.run_to_end().finish()` reproduces `reactive_replay` (booleans exactly,
+    floats to XLA-fusion tolerance)."""
+    from .sim.interactive import make_interactive_sim
+
+    rule_consts = make_rule_constants(
+        cfg, batch, batch.get("agent/goal"), batch.get("agent/dest")
+    )
+    return make_interactive_sim(
+        cfg,
+        model_apply=_apply_factory(model, params),
+        dyn_params=make_dyn_params(cfg),
+        rule_consts=rule_consts,
+        features=build_rollout_features(batch, features),
+        latent_dist=latent_dist,
+        goal=goal,
+        goal_valid=goal_valid,
+        mask_teacher_forcing=mask_teacher_forcing,
+        key=key,
+        deterministic_latent=deterministic_latent,
+        deterministic_action=deterministic_action,
+        step_start=cfg.time_step_sim_start,
+        step_end=cfg.time_step_end,
+    )
+
+
 def _repeat_batch_keys(batch: Batch, keys, k: int) -> Batch:
     out = dict(batch)
     for key in keys:

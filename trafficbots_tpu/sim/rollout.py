@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import ExperimentConfig
 from ..data.preprocessing import agent_attr_and_pe
@@ -130,7 +131,7 @@ def pad_gt_features(features: Dict[str, jnp.ndarray], step_end: int) -> Dict[str
     return out
 
 
-def rollout(
+def build_sim(
     cfg: ExperimentConfig,
     model_apply: Callable,  # partial(model.apply, variables) with method kwarg support
     dyn_params: DynamicsParams,
@@ -148,8 +149,15 @@ def rollout(
     training: bool = False,
     gt_sdc: Optional[Dict[str, jnp.ndarray]] = None,
     collect_attention: bool = False,
-) -> RolloutOutput:
-    """Run the closed-loop simulation. Ref waymo_motion.py:205-354.
+):
+    """Construct the simulation: initial carry, per-step scan inputs and the
+    pure step body. `rollout` runs the whole thing as one `lax.scan`;
+    `sim/interactive.py` steps the SAME body one step at a time (jitted) for
+    mid-rollout intervention — both paths share every line of physics
+    (equal up to XLA fusion differences between the two compilations).
+
+    Returns (carry0: RolloutCarry, xs: dict of step-major arrays,
+    body: (carry, x) -> (carry, StepOutput)).
 
     features keys (all batch-major):
       map_valid [B,P], map_feature [B,P,d], tl_valid [B,T_tl,n_tl],
@@ -365,6 +373,9 @@ def rollout(
             method="encode_agent", valid=agent.valid, attr=attr, pe=pe,
             deterministic=not training, rngs=rngs,
         )
+        # remat tag: under remat_policy="save_core" the scan saves the
+        # per-step featurization so its backward re-forward skips it
+        agent_feature = checkpoint_name(agent_feature, "step_feat")
         action_mean, action_log_std, hidden, _, attn = model_apply(
             method="policy_step",
             agent_valid=agent.valid,
@@ -448,6 +459,40 @@ def rollout(
         )
         return new_carry, out
 
+    return carry0, xs, body
+
+
+def rollout(
+    cfg: ExperimentConfig,
+    model_apply: Callable,
+    dyn_params: DynamicsParams,
+    rule_consts: RuleConstants,
+    features: Dict[str, jnp.ndarray],
+    latent_dist,
+    goal: Optional[jnp.ndarray],
+    goal_valid: Optional[jnp.ndarray],
+    mask_teacher_forcing: jnp.ndarray,
+    key: jax.Array,
+    deterministic_latent: DetType = True,
+    deterministic_action: bool = True,
+    step_start: int = 1,
+    step_end: int = 90,
+    training: bool = False,
+    gt_sdc: Optional[Dict[str, jnp.ndarray]] = None,
+    collect_attention: bool = False,
+) -> RolloutOutput:
+    """Run the closed-loop simulation as one `lax.scan`.
+    Ref waymo_motion.py:205-354; see `build_sim` for the features contract.
+    """
+    carry0, xs, body = build_sim(
+        cfg, model_apply, dyn_params, rule_consts, features, latent_dist,
+        goal, goal_valid, mask_teacher_forcing, key,
+        deterministic_latent=deterministic_latent,
+        deterministic_action=deterministic_action,
+        step_start=step_start, step_end=step_end, training=training,
+        gt_sdc=gt_sdc, collect_attention=collect_attention,
+    )
+
     if training and cfg.remat_rollout_step:
         # Rematerialize the policy step in the backward pass: BPTT over 90
         # steps keeps O(carry) memory instead of O(steps x activations)
@@ -457,6 +502,14 @@ def rollout(
         # attention kernels (their custom VJP recomputes in-VMEM anyway).
         if cfg.remat_policy == "save_attn":
             policy = jax.checkpoint_policies.save_only_these_names("attn_core")
+            body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+        elif cfg.remat_policy == "save_core":
+            # additionally save the per-step featurization, the GRU output
+            # and the action-head input (~3 MB/step at batch 32) so the
+            # backward re-forward skips everything but the cheap glue
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_core", "step_feat", "gru_core", "policy_feat"
+            )
             body = jax.checkpoint(body, prevent_cse=False, policy=policy)
         else:
             body = jax.checkpoint(body, prevent_cse=False)
