@@ -38,7 +38,13 @@ def main():
 
     n_scene = int(os.environ.get("BENCH_N_SCENE", "32"))
     cfg = ExperimentConfig()
-    batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0)
+    # FILL=768,40 measures at a WOMD-like validity fill (round-4 honesty rule)
+    fill = os.environ.get("FILL", "")
+    fill_kw = {}
+    if fill:
+        n_pl, n_ag = (int(x) for x in fill.split(","))
+        fill_kw = dict(n_valid_pl=n_pl, n_valid_agent=n_ag)
+    batch_np = synthetic_episode_batch(cfg.data, n_scene=n_scene, seed=0, **fill_kw)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
     key = jax.random.PRNGKey(1)
