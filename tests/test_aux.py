@@ -147,6 +147,20 @@ def test_metrics_logger_sink_hook(tmp_path, monkeypatch):
     recs = [json.loads(l) for l in open(lg3.path)]
     assert [r["a"] for r in recs] == [1.0, 2.0]
 
+    # a MISCONFIGURED hook (typo'd module/callable) warns and falls back to
+    # jsonl-only instead of killing the run at logger construction
+    monkeypatch.setenv("TB_METRICS_HOOK", "_no_such_module:nope")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lg4 = MetricsLogger(str(tmp_path / "run4"))
+    assert lg4.sink is None
+    assert any("failed to load" in str(x.message) for x in w)
+    monkeypatch.setenv("TB_METRICS_HOOK", "_fake_sink_mod:no_such_callable")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert MetricsLogger(str(tmp_path / "run5")).sink is None
+    assert any("failed to load" in str(x.message) for x in w)
+
     # unset env -> no sink
     monkeypatch.delenv("TB_METRICS_HOOK")
-    assert MetricsLogger(str(tmp_path / "run4")).sink is None
+    assert MetricsLogger(str(tmp_path / "run6")).sink is None

@@ -137,6 +137,18 @@ def test_interactive_intervention_forces_state(setup):
         np.asarray(sim.carry.agent.state[:, 2:]),
         np.asarray(ref.carry.agent.state[:, 2:]),
     )
+    # non-forced agents' diffbar reward is still computed against the true
+    # GT: the injected filler (zeros) must reach ONLY the masked agent
+    others = [0] + list(range(2, A))
+    np.testing.assert_allclose(
+        np.asarray(out.diffbar_reward[:, others]),
+        np.asarray(ref_out.diffbar_reward[:, others]),
+        rtol=2e-5, atol=2e-5,
+    )
+    # an injected state without a mask is a caller error, not a silent
+    # whole-batch GT replacement
+    with pytest.raises(ValueError):
+        sim.step(state_override={"state": forced_state})
 
     # the trajectories may diverge from here on; both must stay finite
     buf = sim.run_to_end().finish()

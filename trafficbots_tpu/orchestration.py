@@ -210,14 +210,29 @@ def reactive_replay(
     collect_attention: bool = False,
 ) -> RolloutOutput:
     """Scene reconstruction rollout. Ref waymo_motion.py:420-476."""
-    rule_consts = make_rule_constants(
-        cfg, batch, batch.get("agent/goal"), batch.get("agent/dest")
-    )
     return rollout(
+        **_sim_kwargs(cfg, model, params, batch, features, latent_dist, goal,
+                      goal_valid, mask_teacher_forcing, key,
+                      deterministic_latent, deterministic_action),
+        training=training,
+        collect_attention=collect_attention,
+    )
+
+
+def _sim_kwargs(cfg, model, params, batch, features, latent_dist, goal,
+                goal_valid, mask_teacher_forcing, key,
+                deterministic_latent, deterministic_action):
+    """Shared simulation-setup preamble of `reactive_replay` and
+    `interactive_replay` — one place assembles dynamics params, rule
+    constants and rollout features, so the interactive path can never drift
+    from the scan path (tests/test_interactive.py relies on equivalence)."""
+    return dict(
         cfg=cfg,
         model_apply=_apply_factory(model, params),
         dyn_params=make_dyn_params(cfg),
-        rule_consts=rule_consts,
+        rule_consts=make_rule_constants(
+            cfg, batch, batch.get("agent/goal"), batch.get("agent/dest")
+        ),
         features=build_rollout_features(batch, features),
         latent_dist=latent_dist,
         goal=goal,
@@ -228,8 +243,6 @@ def reactive_replay(
         deterministic_action=deterministic_action,
         step_start=cfg.time_step_sim_start,
         step_end=cfg.time_step_end,
-        training=training,
-        collect_attention=collect_attention,
     )
 
 
@@ -244,8 +257,8 @@ def interactive_replay(
     goal_valid,
     mask_teacher_forcing,
     key: jax.Array,
-    deterministic_latent,
-    deterministic_action: bool,
+    deterministic_latent=True,
+    deterministic_action: bool = True,
 ):
     """Step-at-a-time variant of `reactive_replay`: same inputs, returns an
     `InteractiveSim` whose `.step()` can inject per-step overrides
@@ -254,24 +267,10 @@ def interactive_replay(
     floats to XLA-fusion tolerance)."""
     from .sim.interactive import make_interactive_sim
 
-    rule_consts = make_rule_constants(
-        cfg, batch, batch.get("agent/goal"), batch.get("agent/dest")
-    )
     return make_interactive_sim(
-        cfg,
-        model_apply=_apply_factory(model, params),
-        dyn_params=make_dyn_params(cfg),
-        rule_consts=rule_consts,
-        features=build_rollout_features(batch, features),
-        latent_dist=latent_dist,
-        goal=goal,
-        goal_valid=goal_valid,
-        mask_teacher_forcing=mask_teacher_forcing,
-        key=key,
-        deterministic_latent=deterministic_latent,
-        deterministic_action=deterministic_action,
-        step_start=cfg.time_step_sim_start,
-        step_end=cfg.time_step_end,
+        **_sim_kwargs(cfg, model, params, batch, features, latent_dist, goal,
+                      goal_valid, mask_teacher_forcing, key,
+                      deterministic_latent, deterministic_action),
     )
 
 

@@ -68,13 +68,18 @@ class InteractiveSim:
         if mask_override is not None:
             x["tf_mask"] = mask_override
         if state_override is not None:
+            if mask_override is None:
+                raise ValueError("state_override requires mask_override: the "
+                                 "injected states apply only to masked agents")
+            # blend per-agent: non-forced agents keep this step's GT, which
+            # the body also uses as the diffbar-reward target (rollout.py)
+            m = mask_override[..., None]
             for k_src, k_dst in (("state", "gt_state"), ("vel", "gt_vel"),
                                  ("acc", "gt_acc"), ("yaw_rate", "gt_yaw_rate")):
                 if k_src in state_override:
-                    x[k_dst] = state_override[k_src]
+                    x[k_dst] = jnp.where(m, state_override[k_src], x[k_dst])
             # forced agents must count as GT-valid or kill() could cull them
-            if mask_override is not None:
-                x["gt_valid"] = x["gt_valid"] | mask_override
+            x["gt_valid"] = x["gt_valid"] | mask_override
         self.carry, out = self._step(self.carry, x)
         self.outputs.append(out)
         self.t += 1

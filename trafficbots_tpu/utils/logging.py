@@ -29,7 +29,14 @@ def _load_metrics_hook():
     import importlib
 
     mod, _, fn = spec.partition(":")
-    return getattr(importlib.import_module(mod), fn or "log_metrics")
+    try:
+        return getattr(importlib.import_module(mod), fn or "log_metrics")
+    except Exception as e:  # bad spec must not kill the run (docs/usage.md)
+        import warnings
+
+        warnings.warn(f"TB_METRICS_HOOK={spec!r} failed to load ({e!r}); "
+                      "metrics go to metrics.jsonl only")
+        return None
 
 
 class MetricsLogger:
