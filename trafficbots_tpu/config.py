@@ -358,7 +358,21 @@ class ModelConfig:
     # launch overhead swamps the skipped compute unless the batch is very
     # sparse (at 12.5%-polyline fill the skip wins 394 vs 387 ms; set 0 for
     # such data). See PERF.md round-4 fill-sensitivity table.
+    # NOTE: the latent encoder's episode as2pl flattens (step*agent) tokens
+    # whose live rows repeat with period n_agent, so it honors an explicit
+    # value only when it divides step*agent and is <= n_agent (otherwise it
+    # coerces to 16 so the dead-row skip can still fire; latent_encoder.py).
     attn_row_block: int = -1
+    # EVAL episode map encode: process the scene batch in chunks of this many
+    # scenes (lax.map), recomputing the map PE per chunk from sc/map_pos so
+    # the [B, n_pl, n_node, *] featurization temporaries only ever exist at
+    # chunk size. Caps the episode-encode HBM peak (batch 256 OOM'd the 16G
+    # chip at 24G before this, dominated by tile-padded PE/MLP temps) without
+    # touching throughput: the per-scene math is identical, just partitioned.
+    # 0 disables; chunking also auto-disables when the batch is not a
+    # multiple of the chunk, in training (dropout rng plumbing + BPTT remat
+    # stay on the unchunked path), or when views see different maps.
+    map_encode_chunk: int = 32
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96
     pose_pe_map: str = "pe_xy_yaw"

@@ -237,6 +237,8 @@ def pose_pe(
             yaw = direction[..., 0]
         else:
             yaw = jnp.arctan2(direction[..., 1], direction[..., 0])
+        if pe_dim % 8 == 0:
+            return _pe_xy_yaw_packed(xy, yaw, pe_dim, theta_xy)
         return jnp.concatenate(
             [
                 positional_embedding(xy[..., 0], pe_dim // 4, theta_xy),
@@ -246,3 +248,43 @@ def pose_pe(
             axis=-1,
         )
     raise NotImplementedError(mode)
+
+
+def _pe_xy_yaw_packed(
+    xy: jnp.ndarray, yaw: jnp.ndarray, pe_dim: int, theta_xy: float
+) -> jnp.ndarray:
+    """pe_xy_yaw as ONE elementwise expression over the full [..., pe_dim].
+
+    Bit-identical to concat(PE(x), PE(y), PE_rad(yaw)): each output channel is
+    cos/sin of exactly the same `coord * freq` product; only the concat of six
+    narrow pieces is replaced by per-channel constant tables. The narrow
+    pieces were a memory disaster on TPU: each [..., n_node, 12|24] trig temp
+    tile-pads its trailing dims 6.4-12.8x (minor dim 12|24 -> 128 lanes), and
+    the map PE materialized SIX of them at ~3 GB apiece for batch 256
+    (measured: the whole-program OOM at BENCH_N_SCENE=256 was dominated by
+    these, 18 GB of padded temps for 1.9 GB of payload). Here XLA emits one
+    fused kLoop producing [..., pe_dim] directly (1.33x padding at pe_dim=96),
+    which also feeds the downstream feature concat as a single operand.
+
+    Tables: channel c has arg = x*FX[c] + y*FY[c] + yaw*FR[c] where exactly
+    one table is nonzero per channel, and out = where(IS_COS[c], cos, sin).
+    Adding the two zero terms is exact in fp32 (x + 0.0 == x), so the args
+    match the unpacked path bit-for-bit.
+    """
+    fx = _pe_freqs(pe_dim // 4, theta_xy)[::2]  # [pe_dim//8]
+    fr = _pe_freqs_rad(pe_dim // 2)[::2]  # [pe_dim//4]
+    zx = np.zeros_like(fx)
+    zr = np.zeros_like(fr)
+    ox = np.ones_like(fx)
+    or_ = np.ones_like(fr)
+    freq_x = np.concatenate([fx, fx, zx, zx, zr, zr])
+    freq_y = np.concatenate([zx, zx, fx, fx, zr, zr])
+    freq_r = np.concatenate([zx, zx, zx, zx, fr, fr])
+    is_cos = np.concatenate([ox, zx, ox, zx, or_, zr]).astype(bool)
+    dt = xy.dtype
+    arg = (
+        xy[..., 0:1] * jnp.asarray(freq_x, dt)
+        + xy[..., 1:2] * jnp.asarray(freq_y, dt)
+        + yaw[..., None].astype(dt) * jnp.asarray(freq_r, dt)
+    )
+    return jnp.where(jnp.asarray(is_cos), jnp.cos(arg), jnp.sin(arg))

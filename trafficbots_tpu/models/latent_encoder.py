@@ -193,11 +193,18 @@ class LatentEncoder(nn.Module):
             # logits that scale with batch (measured win at batch 128).
             # when the dead-row skip is opted in (attn_row_block >= 0), live
             # rows are strided with period n_agent (step-major flatten; real
-            # agents are a per-step prefix), so blocks must be finer than
-            # n_agent for the skip to fire -> force 16
+            # agents are a per-step prefix), so an explicit block size is
+            # honored only when it tiles the tokens AND is no coarser than
+            # n_agent (else it could never skip); otherwise coerce to 16
+            # (see the config.py attn_row_block comment)
             row_block=(
                 self.attn_row_block if self.attn_row_block < 0
-                else (16 if (n_step * n_agent) % 16 == 0 else 0)
+                else (
+                    self.attn_row_block
+                    if 0 < self.attn_row_block <= n_agent
+                    and (n_step * n_agent) % self.attn_row_block == 0
+                    else (16 if (n_step * n_agent) % 16 == 0 else 0)
+                )
             ),
         )
         x = x.reshape(n_scene, n_step, n_agent, d)

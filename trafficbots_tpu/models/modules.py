@@ -72,6 +72,35 @@ class _PairDense(nn.Module):
         return a + b + bias.astype(self.compute_dtype)
 
 
+class _TailPaddedDense(nn.Module):
+    """`nn.Dense(features)` whose OUTPUT is zero-padded to `pad_to` channels
+    at matmul time: x @ pad(kernel) + pad(bias). The stored parameters keep
+    the exact `nn.Dense` shapes/names (kernel [in, features], bias
+    [features]) so checkpoints and parity weight-transfer are unaffected, and
+    columns `features..pad_to` of the output are exact zeros (dot with a zero
+    column). Wider N on the MXU is free up to the 128-lane tile the narrow
+    output would pad to anyway; what it buys is that the [..., pad_to] result
+    can absorb a tail tensor with a fused add instead of a `concatenate` —
+    see InputPeEncoder (cat mode), where this removed two ~3 GB padded temps
+    per 256-scene episode encode.
+    """
+
+    features: int
+    pad_to: int
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.pad_to - self.features
+        kernel = jnp.pad(kernel.astype(self.compute_dtype), ((0, 0), (0, pad)))
+        bias = jnp.pad(bias.astype(self.compute_dtype), ((0, pad),))
+        return x.astype(self.compute_dtype) @ kernel + bias
+
+
 class MLP(nn.Module):
     """Linear stack with optional layernorm/dropout.
 
@@ -84,6 +113,11 @@ class MLP(nn.Module):
     for `concat([broadcast(src), broadcast(tgt)], -1)`: the first layer then
     runs factored (`_PairDense`, same "fc0" param tree) so the concat never
     materializes. Semantically identical up to fp32 summation order.
+
+    `pad_last_to > 0` zero-pads the LAST layer's output to that many channels
+    at matmul time (`_TailPaddedDense`, same "fc{i}" param tree) so a caller
+    can add a tail feature in place of concatenating one. Only legal when
+    nothing post-processes the padded channels (no end activation / masking).
     """
 
     fc_dims: Sequence[int]  # output dims of each layer (input dim inferred)
@@ -92,6 +126,7 @@ class MLP(nn.Module):
     activation: str = "relu"
     end_layer_activation: bool = True
     compute_dtype: Dtype = jnp.float32  # params stay fp32 (flax dtype semantics)
+    pad_last_to: int = 0
 
     @nn.compact
     def __call__(
@@ -103,6 +138,10 @@ class MLP(nn.Module):
     ) -> jnp.ndarray:
         act = _activation(self.activation)
         n = len(self.fc_dims)
+        if self.pad_last_to:
+            # padded channels must stay exact zeros for the caller's tail-add
+            assert not self.end_layer_activation and valid is None
+            assert self.pad_last_to >= self.fc_dims[-1]
         if isinstance(x, tuple):
             src, tgt = x
             in_dtype = src.dtype
@@ -114,7 +153,13 @@ class MLP(nn.Module):
             in_dtype = x.dtype
             first_done = False
         for i, dim in enumerate(self.fc_dims):
-            if not (first_done and i == 0):
+            is_padded_last = self.pad_last_to and i == n - 1 and not (first_done and i == 0)
+            if is_padded_last:
+                x = _TailPaddedDense(
+                    features=dim, pad_to=self.pad_last_to,
+                    compute_dtype=self.compute_dtype, name=f"fc{i}",
+                )(x)
+            elif not (first_done and i == 0):
                 x = nn.Dense(dim, name=f"fc{i}", dtype=self.compute_dtype)(x)
             is_last = i == n - 1
             if not is_last or self.end_layer_activation:
@@ -586,16 +631,28 @@ class InputPeEncoder(nn.Module):
         else:
             raise NotImplementedError(self.pe_mode)
 
+        # cat mode: instead of concat([mlp_out, pe]) run the last MLP layer
+        # tail-padded to hidden_dim (exact zeros past out_dim) and ADD the
+        # left-padded PE — bit-identical, but the combine fuses into the
+        # matmul's elementwise epilogue instead of materializing both the
+        # narrow [..., out_dim] matmul result (4.8x tile padding at the map's
+        # [B, P, 20, 32]) and a separate concatenated copy.
+        fold_cat = self.pe_mode == "cat" and not (
+            isinstance(x_in, tuple) and self.n_layer == 1
+        )
         x = MLP(
             [out_dim] * self.n_layer,
             dropout_p=self.mlp_dropout_p,
             use_layernorm=self.mlp_use_layernorm,
             end_layer_activation=False,
             compute_dtype=self.compute_dtype,
+            pad_last_to=self.hidden_dim if fold_cat else 0,
             name="mlp",
         )(x_in, deterministic=deterministic)
 
-        if self.pe_mode == "cat":
+        if fold_cat:
+            x = x + jnp.pad(pe, [(0, 0)] * (pe.ndim - 1) + [(out_dim, 0)])
+        elif self.pe_mode == "cat":
             x = jnp.concatenate([x, pe], axis=-1)
         elif self.pe_mode == "add":
             x = x + pe

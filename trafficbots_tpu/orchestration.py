@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from .config import ExperimentConfig
 from .data.preprocessing import extract, pre_processing
 from .distributions import DestCategorical
+from .geometry import pose_pe
 from .models.traffic_bots import TrafficBots
 from .sim import rules as RU
 from .sim.dynamics import make_dynamics_params
@@ -124,6 +125,18 @@ def encode_episode_features(
             )
     out = {}
     shared_map = None
+    chunk = model.cfg.map_encode_chunk
+    if (
+        share_map_encoding
+        and not training
+        and chunk > 0
+        and map_attr_pair is not None
+        and "sc/map_pos" in batch
+        and "sc/map_dir" in batch
+        and batch["sc/map_pos"].shape[0] > chunk
+        and batch["sc/map_pos"].shape[0] % chunk == 0
+    ):
+        shared_map = _encode_map_chunked(model, params, batch, chunk)
     for i, prefix in enumerate(("input", "latent_post", "latent_prior")):
         if f"{prefix}/agent_valid" not in batch:
             continue
@@ -145,6 +158,49 @@ def encode_episode_features(
         if share_map_encoding and shared_map is None:
             shared_map = (out[prefix]["map_feature"], out[prefix]["map_feature_valid"])
     return out
+
+
+def _encode_map_chunked(
+    model: TrafficBots, params, batch: Batch, chunk: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Episode map encode over scene sub-batches of `chunk` via lax.map.
+
+    The map featurization temporaries ([B, 1024, 20, *] PE / input-MLP
+    tensors) dominated the eval program's HBM peak and scale linearly with
+    batch; per-scene results are batch-independent, so partitioning the
+    scene axis is bit-identical (same per-row matmuls and reductions) while
+    capping the peak at chunk size. The PE is recomputed per chunk from the
+    raw sc/map_pos|dir (same call as preprocessing.sc_input), which lets XLA
+    dead-code-eliminate the precomputed full-batch `input/map_pe`.
+    Eval-only: callers gate on `not training` (dropout off inside lax.map).
+    """
+    map_valid = batch["input/map_valid"]  # == sc/map_valid when not training
+    map_pos = batch["sc/map_pos"]
+    map_dir = batch["sc/map_dir"]
+    map_type = batch["sc/map_type"]
+    n_scene, n_pl, n_node = map_valid.shape
+    n_chunks = n_scene // chunk
+    eye = jnp.eye(n_node, dtype=map_pos.dtype)[None, None]
+
+    def part(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    def body(xs):
+        v, p, d, t = xs
+        pe = pose_pe(p, d, model.cfg.pose_pe_map, model.cfg.pe_dim)
+        attr = (t.astype(p.dtype)[:, :, None, :], eye)
+        return model.apply(
+            {"params": params}, method="map_only",
+            map_valid=v, map_attr=attr, map_pe=pe, deterministic=True,
+        )
+
+    feat, valid = jax.lax.map(
+        body, (part(map_valid), part(map_pos), part(map_dir), part(map_type))
+    )
+    return (
+        feat.reshape((n_scene,) + feat.shape[2:]),
+        valid.reshape((n_scene,) + valid.shape[2:]),
+    )
 
 
 def build_rollout_features(batch: Batch, input_features: Dict[str, jnp.ndarray]) -> Batch:
