@@ -55,14 +55,25 @@ def apply_override(cfg, dotted: str, val: str):
 
 
 def _find_config_snapshot(run_dir: Optional[str], resume: Optional[str]) -> Optional[str]:
-    """Locate the config.json written at fit time (see `snapshot_config`).
+    """Locate the config.json snapshot for a resume.
 
-    Candidates: the run_dir itself, and — for an explicit checkpoint path
-    like `resume=runs/x/ckpt/last` — the checkpoint's parent directories.
+    Candidates, most specific first: INSIDE the checkpoint directory itself
+    (self-describing checkpoints — CheckpointManager writes a config.json
+    sidecar into every best/last save, so a checkpoint copied out of its run
+    keeps its hyperparameters; ref save_hyperparameters, waymo_motion.py:63),
+    then the run_dir, then — for an explicit path like
+    `resume=runs/x/ckpt/last` — the checkpoint's parent directories.
     """
     cands = []
+    if resume and resume not in ("1", "true", "True", "yes", "best", "last"):
+        r = os.path.abspath(resume)
+        cands.append(os.path.join(r, "config.json"))
     if run_dir:
         cands.append(os.path.join(run_dir, "config.json"))
+        # resume=best/last resolve inside run_dir's ckpt dir
+        if resume in ("1", "true", "True", "yes", "best", "last"):
+            name = resume if resume in ("best", "last") else "last"
+            cands.append(os.path.join(run_dir, "ckpt", name, "config.json"))
     if resume and resume not in ("1", "true", "True", "yes", "best", "last"):
         d = os.path.dirname(os.path.abspath(resume))
         cands += [os.path.join(d, "config.json"),
@@ -123,6 +134,18 @@ def parse_args(argv: List[str]):
             with open(snap) as f:
                 cfg = config_from_dict(json.load(f))
             loaded_from = snap
+        else:
+            # resuming without the training config silently falls back to
+            # defaults — at best a shape error, at worst a silently wrong
+            # ablation if shapes agree. Be loud (stderr so it survives in
+            # captured logs); every flag must then be re-passed by hand.
+            print(
+                f"WARNING: resume={resume}: no config.json snapshot found in "
+                "the checkpoint/run directory — using DEFAULT config plus CLI "
+                "overrides. If this checkpoint was trained with non-default "
+                "flags you must re-pass all of them.",
+                file=sys.stderr,
+            )
     for arg in argv:
         k, v = arg.split("=", 1)
         if k == "action":
@@ -278,10 +301,12 @@ def main(argv: Optional[List[str]] = None):
                 b, cfg.data.bucket_pl_multiple, cfg.data.bucket_agent_multiple
             )[0]
 
+    from .config import config_to_dict
+
     key = jax.random.PRNGKey(cfg.seed)
     logger = MetricsLogger(run_dir) if is_main else None
     prof = Profiler()
-    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"), config=config_to_dict(cfg))
 
     # data
     if synthetic:

@@ -22,14 +22,54 @@ except ImportError:  # pragma: no cover
     _HAS_ORBAX = False
 
 
+def _load_ckpt_hook():
+    """Resolve the optional checkpoint-artifact hook from TB_CKPT_HOOK.
+
+    Format "pkg.module:callable" (callable defaults to `on_checkpoint`). The
+    callable receives (path, step, score, is_best) after every best/last
+    save — the pluggable analog of the reference's wandb checkpoint-artifact
+    upload (ModelCheckpointWB, ref callbacks/wandb_callbacks.py:26-73):
+    point it at a wandb/GCS/S3 uploader without the framework depending on
+    any of them. No-op when unset; failures are isolated like the metrics
+    sink (utils/logging.py).
+    """
+    spec = os.environ.get("TB_CKPT_HOOK")
+    if not spec:
+        return None
+    import importlib
+
+    mod, _, fn = spec.partition(":")
+    try:
+        return getattr(importlib.import_module(mod), fn or "on_checkpoint")
+    except Exception as e:  # bad spec must not kill the run
+        import warnings
+
+        warnings.warn(f"TB_CKPT_HOOK={spec!r} failed to load ({e!r}); "
+                      "checkpoints stay local-only")
+        return None
+
+
 class CheckpointManager:
-    def __init__(self, directory: str, monitor: str = "val/loss", mode: str = "min"):
+    def __init__(
+        self,
+        directory: str,
+        monitor: str = "val/loss",
+        mode: str = "min",
+        config: Optional[Dict[str, Any]] = None,
+        hook=None,
+    ):
         assert _HAS_ORBAX, "orbax is required for checkpointing"
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
         self.best_score: Optional[float] = None
+        # config dict snapshotted INSIDE each checkpoint dir so a checkpoint
+        # copied out of its run stays self-describing (the reference embeds
+        # hparams in the .ckpt via save_hyperparameters, waymo_motion.py:63)
+        self.config = config
+        # `hook` (programmatic) wins over the TB_CKPT_HOOK env adapter
+        self.hook = hook if hook is not None else _load_ckpt_hook()
         self._ckptr = ocp.StandardCheckpointer()
         self._meta_path = os.path.join(self.directory, "meta.json")
         if os.path.exists(self._meta_path):
@@ -37,14 +77,33 @@ class CheckpointManager:
                 meta = json.load(f)
             self.best_score = meta.get("best_score")
 
-    def _save(self, name: str, state: Dict[str, Any]):
+    def _save(self, name: str, state: Dict[str, Any]) -> str:
         path = os.path.join(self.directory, name)
         self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
+        # sidecar written after the collective save finalizes the directory;
+        # rank-0 only (same single-writer rule as meta.json). Orbax restore
+        # only reads its own manifest files, so the extra json is inert.
+        if self.config is not None and jax.process_index() == 0:
+            with open(os.path.join(path, "config.json"), "w") as f:
+                json.dump(self.config, f, indent=2)
+        return path
+
+    def _fire_hook(self, path: str, step: int, metrics: Dict[str, float], is_best: bool):
+        if self.hook is None or jax.process_index() != 0:
+            return
+        try:
+            self.hook(path, step, float(metrics.get(self.monitor, float("nan"))), is_best)
+        except Exception as e:  # an uploader failure must not kill training
+            import warnings
+
+            warnings.warn(f"checkpoint hook failed ({e!r}); disabling it")
+            self.hook = None
 
     def save_last(self, state: Dict[str, Any], step: int, metrics: Dict[str, float]):
-        self._save("last", state)
+        path = self._save("last", state)
         self._write_meta(step=step, metrics=metrics)
+        self._fire_hook(path, step, metrics, is_best=False)
 
     def save_if_best(self, state: Dict[str, Any], step: int, metrics: Dict[str, float]) -> bool:
         score = float(metrics[self.monitor])
@@ -55,8 +114,9 @@ class CheckpointManager:
         )
         if improved:
             self.best_score = score
-            self._save("best", state)
+            path = self._save("best", state)
             self._write_meta(step=step, metrics=metrics)
+            self._fire_hook(path, step, metrics, is_best=True)
         return improved
 
     def _write_meta(self, step: int, metrics: Dict[str, float]):
