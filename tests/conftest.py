@@ -32,3 +32,16 @@ jax.config.update("jax_enable_x64", False)
 if not _TPU_MODE:
     assert jax.default_backend() == "cpu", f"tests must run on CPU, got {jax.default_backend()}"
     assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
+
+# persistent compile cache: the heavyweight programs (91-step scan train
+# step, sharded Validator) take minutes to compile on this 1-core host and
+# are identical across test runs. The cache key covers backend, device
+# topology and XLA flags, so the CPU entries never collide with TPU runs.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass

@@ -48,7 +48,7 @@ def test_two_process_fit(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1500)
+            out, _ = p.communicate(timeout=2700)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -61,10 +61,17 @@ def test_two_process_fit(tmp_path):
     # collective checkpoint completed; rank-0 host artifacts exist
     assert (tmp_path / "run" / "ckpt" / "last").is_dir()
     assert (tmp_path / "run" / "metrics.jsonl").exists()
-    # submissions were not activated -> no submission dir
-    assert not (tmp_path / "run" / "submission").exists()
+    # the sharded h5 validate wrote both submission archives (rank-0-only;
+    # the worker itself asserts the exact 12-scenario content with the 4
+    # pad rows excluded)
+    assert (tmp_path / "run" / "submission" / "womd_trafficbots_tpu_rr_K1.tar.gz").exists()
+    assert (tmp_path / "run" / "submission" / "womd_trafficbots_tpu_jf_K6.tar.gz").exists()
     # process 0 printed the val epoch line; process 1's stdout must not
     # (rank-0 gating of host prints — match the exact print format, the
     # WOMDMetrics warning text also contains the words "val/loss")
     assert "epoch 0 val/loss=" in outs[0]
     assert "epoch 0 val/loss=" not in outs[1]
+    # challenge horizon: WOMD metrics must be ENABLED under the mesh — the
+    # disabled-horizon warning would mean val/loss silently stopped being -mAP
+    for out in outs:
+        assert "WOMDMetrics" not in out or "disabled" not in out, out[-2000:]

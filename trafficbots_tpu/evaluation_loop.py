@@ -166,29 +166,55 @@ class Validator:
         self.sub_rr.reset()
         self.sub_jf.reset()
 
-    def _local_rows(self, x) -> np.ndarray:
+    def _local_rows(self, x, n_local: int) -> np.ndarray:
         """Device output -> the numpy rows belonging to THIS process.
 
         Single-process: the whole array. Multi-process: the batch is
         process-sharded (each host fed only its own scenes via
         make_array_from_process_local_data), so WOMD packing consumes the
-        host-addressable shards — ordered by their global row offset — and
+        host-addressable shards — ordered by their global row offset,
+        deduplicated by offset because the pred outputs are only
+        CONSTRAINED to P("data") (a replicated or partially-replicated
+        layout would otherwise repeat rows across local devices) — and
         the cross-host union happens once at epoch end in WOMDMetrics.sync()
         (ref womd.py:44-49 dist_sync_on_step). Exercised by
         tests/test_multiprocess.py on a 2-process CPU mesh."""
         if jax.process_count() > 1 and self.mesh is not None:
-            shards = sorted(
-                x.addressable_shards, key=lambda s: s.index[0].start or 0
+            by_start = {}
+            for s in x.addressable_shards:
+                start = s.index[0].start or 0
+                if start not in by_start:
+                    by_start[start] = np.asarray(s.data)
+            rows = np.concatenate(
+                [by_start[k] for k in sorted(by_start)], axis=0
             )
-            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+            assert rows.shape[0] == n_local, (
+                f"device output rows ({rows.shape[0]}) != process-local batch "
+                f"rows ({n_local}); output sharding constraint not honored?"
+            )
+            return rows
         return np.asarray(x)
 
     def step(self, params, batch_np: Dict[str, np.ndarray], key) -> None:
         if self._jitted is None:
-            cfg, model = self.cfg, self.model
+            cfg, model, mesh = self.cfg, self.model, self.mesh
 
             def fn(params, batch, key):
-                return validation_device_step(cfg, model, params, batch, key)
+                out = validation_device_step(cfg, model, params, batch, key)
+                if mesh is not None:
+                    # pin the per-scene prediction outputs to the data axis:
+                    # GSPMD is otherwise free to replicate them (observed on
+                    # the h5 validate program), which would hand _local_rows
+                    # every process's rows instead of this host's slice
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    spec = NamedSharding(mesh, PartitionSpec("data"))
+                    for pk in ("pred_rr", "pred_jf"):
+                        out[pk] = jax.tree.map(
+                            lambda a: jax.lax.with_sharding_constraint(a, spec),
+                            out[pk],
+                        )
+                return out
 
             self._jitted = jax.jit(fn)
         if self.mesh is not None:
@@ -218,10 +244,11 @@ class Validator:
                 np.arange(batch_np["agent/valid"].shape[-1]), batch_np["agent/valid"].shape[::2]
             )),
         )
-        trajs_rr = self._local_rows(out["pred_rr"]["waymo_trajs"])
-        scores_rr = self._local_rows(out["pred_rr"]["waymo_scores"])
-        trajs_jf = self._local_rows(out["pred_jf"]["waymo_trajs"])
-        scores_jf = self._local_rows(out["pred_jf"]["waymo_scores"])
+        n_local = mask_pred.shape[0]
+        trajs_rr = self._local_rows(out["pred_rr"]["waymo_trajs"], n_local)
+        scores_rr = self._local_rows(out["pred_rr"]["waymo_scores"], n_local)
+        trajs_jf = self._local_rows(out["pred_jf"]["waymo_trajs"], n_local)
+        scores_jf = self._local_rows(out["pred_jf"]["waymo_scores"], n_local)
         # sharded val/test loaders pad the final partial global batch to size
         # (h5_loader pad_mask); pad rows are duplicates and must not reach
         # the WOMD metrics or the submission files. (Device-side metric SUMS
