@@ -156,8 +156,16 @@ def main():
                 tt.append(time.perf_counter() - t0)
             train_ms = sorted(tt)[len(tt) // 2] * 1e3
             train_asps = n_scene_t * cfg.data.n_agent * n_steps / (train_ms / 1e3)
-        except Exception:
-            pass  # keep the headline metric alive
+        except Exception as e:  # keep the headline metric alive, but visibly
+            import sys
+            import traceback
+
+            print(
+                f"bench: train path FAILED ({type(e).__name__}: {e}); "
+                "reporting train_step_ms=-1",
+                file=sys.stderr,
+            )
+            traceback.print_exc(file=sys.stderr)
 
     print(json.dumps({
         "metric": "rollout_agent_steps_per_sec_per_chip",

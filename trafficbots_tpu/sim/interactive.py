@@ -62,7 +62,14 @@ class InteractiveSim:
         """Advance one simulation step. Overrides (if given) REPLACE this
         step's teacher-forcing inputs: agents with mask_override True are
         forced to state_override after the dynamics update, exactly like
-        scan-mode teacher forcing."""
+        scan-mode teacher forcing.
+
+        A PARTIAL state_override (e.g. only "state") forces the masked
+        agents' omitted channels (vel/acc/yaw_rate) to this step's GT values
+        — which may be stale or zero for agents with no GT at this step, not
+        the agent's current simulated values. Pass every channel explicitly
+        (e.g. carry them over from the previous StepOutput) when overriding
+        agents outside their GT-valid window."""
         assert not self.done, f"simulation finished after {self.n_steps} steps"
         x = {k: v[self.t] for k, v in self.xs.items()}
         if mask_override is not None:

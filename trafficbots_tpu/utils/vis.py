@@ -145,13 +145,32 @@ class VisScene:
         optionally violation flags [T', A]. `title` overlays a caption (e.g.
         the joint-future K index + score, ref log_val_video pred_scores).
         """
-        frames = []
         T = episode["agent/valid"].shape[0]
+
+        def frame_of(d: Dict[str, np.ndarray], key: str, t: int):
+            """Frame t of an optional per-step series; None when absent."""
+            series = d.get(key)
+            return None if series is None else series[t]
+
+        frames = []
         for t in range(T):
+            # traffic lights always come from the episode at (clamped) GT time
+            tl_t = min(t, T - 1)
+            tl_kwargs = dict(
+                tl_valid=frame_of(episode, "tl_stop/valid", tl_t),
+                tl_pos=frame_of(episode, "tl_stop/pos", tl_t),
+                tl_state=frame_of(episode, "tl_stop/state", tl_t),
+            )
             if prediction is not None and t > step_current:
                 tp = t - step_current - 1
                 if tp >= prediction["agent/valid"].shape[0]:
                     break
+                violations = prediction.get("violations")
+                if violations is not None and tp >= violations.shape[0]:
+                    raise ValueError(
+                        f"prediction['violations'] has {violations.shape[0]} "
+                        f"steps but agent/valid has at least {tp + 1}"
+                    )
                 frames.append(
                     self.render_frame(
                         prediction["agent/valid"][tp],
@@ -160,14 +179,8 @@ class VisScene:
                         episode["agent/size"],
                         episode.get("agent/type"),
                         episode.get("agent/role"),
-                        violations=prediction.get("violations", [None] * (tp + 1))[tp]
-                        if "violations" in prediction else None,
-                        tl_valid=episode.get("tl_stop/valid", [None] * T)[min(t, T - 1)]
-                        if "tl_stop/valid" in episode else None,
-                        tl_pos=episode.get("tl_stop/pos", [None] * T)[min(t, T - 1)]
-                        if "tl_stop/pos" in episode else None,
-                        tl_state=episode.get("tl_stop/state", [None] * T)[min(t, T - 1)]
-                        if "tl_stop/state" in episode else None,
+                        violations=None if violations is None else violations[tp],
+                        **tl_kwargs,
                     )
                 )
             else:
@@ -179,10 +192,7 @@ class VisScene:
                         episode["agent/size"],
                         episode.get("agent/type"),
                         episode.get("agent/role"),
-                        tl_valid=episode.get("tl_stop/valid", None if "tl_stop/valid" not in episode else episode["tl_stop/valid"])[t]
-                        if "tl_stop/valid" in episode else None,
-                        tl_pos=episode["tl_stop/pos"][t] if "tl_stop/pos" in episode else None,
-                        tl_state=episode["tl_stop/state"][t] if "tl_stop/state" in episode else None,
+                        **tl_kwargs,
                     )
                 )
         if title:
