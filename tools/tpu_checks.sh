@@ -30,4 +30,8 @@ run python tools/ab_map_chunk.py
 #    (round-3 measured 64 flat BEFORE the fused backward + honest fill)
 run env BENCH_N_SCENE=32 BENCH_TRAIN_N_SCENE=64 BENCH_N_ITER=2 python bench.py
 run env BENCH_N_SCENE=32 BENCH_TRAIN_N_SCENE=128 BENCH_N_ITER=2 python bench.py
+# 6. prime the compile caches for the driver's entry points: entry() on the
+#    real chip (.jax_cache) and the 8-device CPU dryrun (.jax_cache_cpu)
+run python __graft_entry__.py
+run python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 echo "=== done ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
