@@ -60,9 +60,11 @@ def main():
     from trafficbots_tpu.data.synthetic import synthetic_episode_batch
     from trafficbots_tpu.sim.teacher_forcing import teacher_forcing_mask
 
-    # batch 128: throughput rises with batch as the fixed per-program dispatch
-    # cost amortizes (measured 1.33M @ 32, 1.43M @ 64, 1.57M @ 128 on v5e)
-    n_scene = int(os.environ.get("BENCH_N_SCENE", "128"))
+    # batch 256: throughput rises with batch as the fixed per-program dispatch
+    # cost amortizes (round-5 WOMD-fill scaling on v5e: 2.37M @ 128,
+    # 2.42M @ 192, 2.49M @ 256 — 256 only compiles since the round-5
+    # episode-featurization layout fix + chunked map encode; PERF.md round 5)
+    n_scene = int(os.environ.get("BENCH_N_SCENE", "256"))
     n_iter = int(os.environ.get("BENCH_N_ITER", "8"))
     cfg = ExperimentConfig(precision=os.environ.get("BENCH_PRECISION", "fp32"))
     # HEADLINE batch: WOMD-like fill (768/1024 polylines, 40/64 agents valid
@@ -134,9 +136,10 @@ def main():
 
             from trafficbots_tpu.training.train import make_optimizer, make_train_step
 
-            # batch 32: 124k vs 107k agent-steps/s at batch 8 (BPTT backward
-            # is compute-bound; larger batches amortize the fixed overhead)
-            n_scene_t = int(os.environ.get("BENCH_TRAIN_N_SCENE", "32"))
+            # batch 64: round-5 WOMD-fill A/B: 278.5k agent-steps/s @ 32,
+            # 305.2k @ 64 (+9.6%); 128 OOMs the 16G chip (18.8G program —
+            # BPTT residuals scale with batch even under save_attn remat).
+            n_scene_t = int(os.environ.get("BENCH_TRAIN_N_SCENE", "64"))
             # same WOMD-like fill as the headline (round-4 honesty rule)
             tb_np = synthetic_episode_batch(
                 cfg.data, n_scene=n_scene_t, seed=1,
