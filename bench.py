@@ -60,11 +60,12 @@ def main():
     from trafficbots_tpu.data.synthetic import synthetic_episode_batch
     from trafficbots_tpu.sim.teacher_forcing import teacher_forcing_mask
 
-    # batch 256: throughput rises with batch as the fixed per-program dispatch
-    # cost amortizes (round-5 WOMD-fill scaling on v5e: 2.37M @ 128,
-    # 2.42M @ 192, 2.49M @ 256 — 256 only compiles since the round-5
+    # batch 384: throughput rises with batch as the fixed per-program dispatch
+    # cost amortizes, with the knee at 384 (round-5 WOMD-fill scaling on
+    # v5e: 2.37M @ 128, 2.42M @ 192, 2.49/2.43M @ 256, 2.51/2.48M @ 384,
+    # 2.42M @ 512 — anything past 128 only compiles since the round-5
     # episode-featurization layout fix + chunked map encode; PERF.md round 5)
-    n_scene = int(os.environ.get("BENCH_N_SCENE", "256"))
+    n_scene = int(os.environ.get("BENCH_N_SCENE", "384"))
     n_iter = int(os.environ.get("BENCH_N_ITER", "8"))
     cfg = ExperimentConfig(precision=os.environ.get("BENCH_PRECISION", "fp32"))
     # HEADLINE batch: WOMD-like fill (768/1024 polylines, 40/64 agents valid
