@@ -37,11 +37,6 @@ if not _TPU_MODE:
 # step, sharded Validator) take minutes to compile on this 1-core host and
 # are identical across test runs. The cache key covers backend, device
 # topology and XLA flags, so the CPU entries never collide with TPU runs.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:  # cache is an optimization, never a requirement
-    pass
+from trafficbots_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("cpu")

@@ -112,3 +112,67 @@ def test_chunked_map_encode_matches_unchunked():
                 rtol=1e-5,
                 err_msg=f"{view}/{k}",
             )
+
+
+def _chunk_call_recorder(monkeypatch):
+    calls = []
+    real = O._encode_map_chunked
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(O, "_encode_map_chunked", spy)
+    return calls
+
+
+def test_allow_map_chunk_flag_gates_chunked_path(monkeypatch):
+    """allow_map_chunk=False must keep validation off the lax.map chunk path
+    (eval_shape traces the Python gate without compiling anything)."""
+    from trafficbots_tpu.evaluation_loop import validation_device_step
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, map_encode_chunk=2))
+    n_scene = 8  # > chunk and divisible by it: the batch-shape gate fires
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(cfg, n_scene=n_scene).items()}
+    model, params = O.init_params(cfg, jax.random.PRNGKey(0), batch)
+
+    calls = _chunk_call_recorder(monkeypatch)
+    key = jax.random.PRNGKey(1)
+    jax.eval_shape(
+        lambda p, b, k: validation_device_step(cfg, model, p, b, k, allow_map_chunk=True),
+        params, batch, key,
+    )
+    assert calls, "chunk gate should fire at batch 8 / chunk 2 when allowed"
+
+    calls.clear()
+    jax.eval_shape(
+        lambda p, b, k: validation_device_step(cfg, model, p, b, k, allow_map_chunk=False),
+        params, batch, key,
+    )
+    assert not calls, "allow_map_chunk=False must bypass the chunked encode"
+
+
+def test_mesh_validator_never_chunks_map_encode(monkeypatch):
+    """A mesh-sharded Validator must not take the chunked map-encode path:
+    inside its GSPMD-jitted step the scene axis is GLOBAL, so lax.map over
+    global sub-batches would serialize the data-parallel map encode and
+    reshard every chunk across devices (the HBM cap the chunk exists for is
+    per-device anyway)."""
+    from jax.sharding import Mesh
+    from trafficbots_tpu.evaluation_loop import Validator
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, map_encode_chunk=2))
+    n_scene = 8  # global batch: would satisfy the chunk gate if not meshed
+    batch = tiny_batch(cfg, n_scene=n_scene)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model, params = O.init_params(cfg, jax.random.PRNGKey(0), jbatch)
+
+    calls = _chunk_call_recorder(monkeypatch)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    v = Validator(cfg, model, use_native_metrics=False, mesh=mesh)
+    v.step(params, batch, jax.random.PRNGKey(1))
+    assert not calls, "meshed Validator must disable the chunked map encode"
+    out = v.epoch_end()
+    assert np.isfinite(out["val/loss"])

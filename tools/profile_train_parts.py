@@ -25,12 +25,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from trafficbots_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache("tpu")
 
     from trafficbots_tpu.config import ExperimentConfig
     from trafficbots_tpu import orchestration as O

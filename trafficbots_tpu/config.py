@@ -371,7 +371,11 @@ class ModelConfig:
     # touching throughput: the per-scene math is identical, just partitioned.
     # 0 disables; chunking also auto-disables when the batch is not a
     # multiple of the chunk, in training (dropout rng plumbing + BPTT remat
-    # stay on the unchunked path), or when views see different maps.
+    # stay on the unchunked path), when views see different maps, or when
+    # the Validator shards the step over a mesh (the jitted batch axis is
+    # then GLOBAL: lax.map over global sub-batches would serialize the
+    # data-parallel map encode and reshard each chunk, while the HBM cap
+    # this flag exists for is per-device anyway).
     map_encode_chunk: int = 32
     # pre-processing (ref configs/model/traffic_bots.yaml:14-32)
     pe_dim: int = 96

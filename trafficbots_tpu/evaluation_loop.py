@@ -27,19 +27,27 @@ from .training.loss import training_loss
 
 
 def validation_device_step(
-    cfg: ExperimentConfig, model, params, batch: Dict[str, jnp.ndarray], key: jax.Array
+    cfg: ExperimentConfig, model, params, batch: Dict[str, jnp.ndarray], key: jax.Array,
+    allow_map_chunk: bool = True,
 ) -> Dict[str, Any]:
     """Device-side part of validation_step (jittable).
 
     Returns reactive-replay + joint-future rollout summaries, metric sums,
     and post-processed prediction dicts. Ref waymo_motion.py:574-753.
+
+    `allow_map_chunk=False` disables the chunked episode map encode; the
+    Validator sets it when the step is GSPMD-sharded over a mesh (the batch
+    axis traced here is then global — see orchestration.encode_episode_features).
     """
     k1, k2 = jax.random.split(key)
     # val semantics: input/prior views come from the separately packed
     # history/* keys (ref scene_centric.py:93 `prefix = "history/"`), while
     # gt/* stays on the full-GT agent/* keys for metrics and losses.
     batch = pre_processing(batch, cfg.model, n_step_hist=cfg.time_step_current + 1, training=False)
-    feats = O.encode_episode_features(model, params, batch, training=False, key=None)
+    feats = O.encode_episode_features(
+        model, params, batch, training=False, key=None,
+        allow_map_chunk=allow_map_chunk,
+    )
     input_dict = extract(batch, "input")
 
     goal_gt = goal_valid = goal_pred = None
@@ -200,7 +208,10 @@ class Validator:
             cfg, model, mesh = self.cfg, self.model, self.mesh
 
             def fn(params, batch, key):
-                out = validation_device_step(cfg, model, params, batch, key)
+                out = validation_device_step(
+                    cfg, model, params, batch, key,
+                    allow_map_chunk=mesh is None,
+                )
                 if mesh is not None:
                     # pin the per-scene prediction outputs to the data axis:
                     # GSPMD is otherwise free to replicate them (observed on

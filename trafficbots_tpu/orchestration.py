@@ -86,6 +86,7 @@ def _apply_factory(model: TrafficBots, params):
 def encode_episode_features(
     model: TrafficBots, params, batch: Batch, training: bool, key: Optional[jax.Array],
     share_map_encoding: Optional[bool] = None,
+    allow_map_chunk: bool = True,
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Run the three encoder views (input / latent_post / latent_prior).
 
@@ -125,9 +126,16 @@ def encode_episode_features(
             )
     out = {}
     shared_map = None
+    # allow_map_chunk=False: set by mesh-sharded callers (Validator with a
+    # "data" mesh axis) — inside a GSPMD-jitted step the batch axis here is
+    # GLOBAL, so lax.map over global sub-batches would serialize the
+    # otherwise data-parallel map encode and reshard every chunk across
+    # devices. The chunk's HBM rationale is per-device, where the shard is
+    # already batch/n_devices.
     chunk = model.cfg.map_encode_chunk
     if (
-        share_map_encoding
+        allow_map_chunk
+        and share_map_encoding
         and not training
         and chunk > 0
         and map_attr_pair is not None
